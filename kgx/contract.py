@@ -1,0 +1,136 @@
+"""Frozen behavioral contract (SURVEY.md Appendix A).
+
+Every constant and pure function here is part of the operational
+"reference" contract: the sequential oracle (kgx.oracle) and the
+distributed Spark pipeline (kgx.spark) both build on these, and the
+triple-set P/R gate measures divergence between the two *pipelines*,
+not between re-implementations of these primitives.
+
+Design rules (SURVEY.md §1.2, §7 hard parts):
+  * all identities are content-derived (sha256-based), never positional
+    — reproducible across partitionings and parallelism levels;
+  * no wall-clock, no process-salted hashing (python hash() is banned);
+  * normalization never mutates `text` — it only produces copies.
+
+Note on ids: SURVEY.md sketches xxhash64-based ids; we use truncated
+sha256 instead so the pure-Python oracle, Spark (`sha2`) and DuckDB
+(`sha256`) all agree bit-for-bit without reimplementing xxHash. The
+property that matters (content-derived, engine-portable, stable) is
+preserved; documented deviation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+import unicodedata
+
+import numpy as np
+
+# --- A.2 tag set -----------------------------------------------------------
+
+ETYPES = ("PER", "LOC", "ORG")
+TAGS = ("O", "B-PER", "I-PER", "B-LOC", "I-LOC", "B-ORG", "I-ORG")
+TAG2ID = {t: i for i, t in enumerate(TAGS)}
+NUM_TAGS = len(TAGS)
+
+# Tagging is bounded per turn (SURVEY §7: Arrow/pandas UDF memory).
+MAX_TAG_LEN = 512
+
+# --- separators / id derivation -------------------------------------------
+
+SEP = "\x1f"  # unit separator; never occurs in fixture text
+
+
+def sha16(*parts: str) -> str:
+    """Stable 16-hex-char content id over SEP-joined parts."""
+    return hashlib.sha256(SEP.join(parts).encode("utf-8")).hexdigest()[:16]
+
+
+def entity_id(etype: str, norm_canonical: str) -> str:
+    """Canonical dictionary entity id."""
+    return "e_" + sha16("E", etype, norm_canonical)
+
+
+def prov_id(etype: str, norm_surface: str) -> str:
+    """Provisional entity id for a dictionary-miss mention surface."""
+    return "p_" + sha16("P", etype, norm_surface)
+
+
+def tool_id(tool: str) -> str:
+    """Pseudo-entity id for a tool node (uses_tool triples, A.6)."""
+    return "t_" + sha16("T", tool)
+
+
+# --- A.7 normalization ------------------------------------------------------
+
+
+def normalize(surface: str) -> str:
+    """NFKC → casefold → strip. Applied to copies only, never to `text`."""
+    return unicodedata.normalize("NFKC", surface).casefold().strip()
+
+
+# --- A.7 MinHash / LSH ------------------------------------------------------
+
+MINHASH_PERMS = 64
+LSH_BANDS = 16
+LSH_ROWS = 4  # MINHASH_PERMS == LSH_BANDS * LSH_ROWS
+JACCARD_TAU = 0.7  # verify threshold on exact char-bigram Jaccard
+MINHASH_PRIME = 2147483647  # 2^31 - 1; a*x+b fits in uint64
+
+
+def _perm_constants() -> tuple[np.ndarray, np.ndarray]:
+    a = np.empty(MINHASH_PERMS, dtype=np.uint64)
+    b = np.empty(MINHASH_PERMS, dtype=np.uint64)
+    for i in range(MINHASH_PERMS):
+        rng = random.Random(1000 + i)
+        a[i] = rng.randrange(1, MINHASH_PRIME)
+        b[i] = rng.randrange(0, MINHASH_PRIME)
+    return a, b
+
+
+MINHASH_A, MINHASH_B = _perm_constants()
+
+
+def char_bigrams(norm: str) -> list[str]:
+    """Distinct character bigrams of a normalized surface (len>=2)."""
+    if len(norm) < 2:
+        return [norm] if norm else []
+    return sorted({norm[i : i + 2] for i in range(len(norm) - 1)})
+
+
+def bigram_token(bg: str) -> int:
+    """Stable 64-bit token for a bigram, reduced mod MINHASH_PRIME."""
+    d = hashlib.blake2b(bg.encode("utf-8"), digest_size=8).digest()
+    return int.from_bytes(d, "big") % MINHASH_PRIME
+
+
+def minhash_signature(norm: str) -> np.ndarray:
+    """64-perm MinHash signature of the char-bigram set (uint64[64])."""
+    bgs = char_bigrams(norm)
+    if not bgs:
+        return np.full(MINHASH_PERMS, MINHASH_PRIME - 1, dtype=np.uint64)
+    x = np.array([bigram_token(b) for b in bgs], dtype=np.uint64)
+    # (64, n) hash matrix; min over bigrams per permutation
+    h = (MINHASH_A[:, None] * x[None, :] + MINHASH_B[:, None]) % np.uint64(
+        MINHASH_PRIME
+    )
+    return h.min(axis=1)
+
+
+def band_keys(sig: np.ndarray) -> list[str]:
+    """LSH band bucket keys: b=16 bands of r=4 signature values."""
+    out = []
+    for band in range(LSH_BANDS):
+        vals = sig[band * LSH_ROWS : (band + 1) * LSH_ROWS]
+        out.append(f"{band}:" + "-".join(str(int(v)) for v in vals))
+    return out
+
+
+def jaccard(norm_a: str, norm_b: str) -> float:
+    """Exact char-bigram Jaccard similarity."""
+    sa, sb = set(char_bigrams(norm_a)), set(char_bigrams(norm_b))
+    if not sa and not sb:
+        return 1.0
+    u = len(sa | sb)
+    return len(sa & sb) / u if u else 0.0

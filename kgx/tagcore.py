@@ -1,0 +1,223 @@
+"""Frozen tagger model + CRF Viterbi decode (SURVEY.md Appendix A.3/A.4).
+
+The "model" preserves the reference's computational shape — per-char
+emission scores + a 7x7 CRF transition matrix, decoded with exact
+Viterbi (ties -> lowest tag id) — without TF/torch (unavailable in this
+environment, SURVEY §0). Emissions are produced by a deterministic
+gazetteer: longest-match lexicon hits project B-X/I-X mass at the hit
+span, everything else prefers O. The artifact (lexicon + transitions)
+is frozen to disk (`.npz`) and shipped to executors; the oracle and the
+Spark UDFs both load the same artifact — "same checkpoint, two
+execution engines", which is exactly what the P/R gate measures
+(pipeline divergence, not model divergence).
+
+Decode contract (A.3): argmax_y sum_t E[t, y_t] + sum_t A[y_{t-1}, y_t],
+ties broken toward the LOWEST tag id — `np.argmax` returns the first
+maximal index, which with tag ids 0..6 is exactly that rule, on both
+the single-sequence and the batched path.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+from kgx.contract import MAX_TAG_LEN, NUM_TAGS, TAG2ID, TAGS
+
+MATCH_SCORE = 10.0
+MISS_SCORE = -10.0
+BAD_TRANSITION = -50.0
+
+
+def build_transitions() -> np.ndarray:
+    """7x7 CRF transitions: I-X reachable only from B-X / I-X of same type."""
+    a = np.zeros((NUM_TAGS, NUM_TAGS), dtype=np.float32)
+    for j, tag in enumerate(TAGS):
+        if tag.startswith("I-"):
+            et = tag[2:]
+            for i, prev in enumerate(TAGS):
+                if prev not in (f"B-{et}", f"I-{et}"):
+                    a[i, j] = BAD_TRANSITION
+    return a
+
+
+@dataclass(frozen=True)
+class TaggerArtifact:
+    """Frozen model: lexicon (surface form -> etype) + transitions."""
+
+    forms: tuple[str, ...]
+    etypes: tuple[str, ...]
+    transitions: np.ndarray
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            forms=np.array(self.forms, dtype=object),
+            etypes=np.array(self.etypes, dtype=object),
+            transitions=self.transitions,
+        )
+
+    @staticmethod
+    def load(path: str) -> "TaggerArtifact":
+        z = np.load(path, allow_pickle=True)
+        return TaggerArtifact(
+            forms=tuple(z["forms"].tolist()),
+            etypes=tuple(z["etypes"].tolist()),
+            transitions=z["transitions"].astype(np.float32),
+        )
+
+
+class LexiconMatcher:
+    """Longest-match-at-leftmost-position scanner over the frozen lexicon.
+
+    Implemented as a single compiled regex whose alternatives are sorted
+    by (len desc, lex) — Python `re` alternation is leftmost-first, so at
+    each position the longest matching form wins, and `finditer` then
+    continues after the match (non-overlapping), which is exactly the
+    longest-match scan of the contract.
+    """
+
+    def __init__(self, artifact: TaggerArtifact):
+        pairs = sorted(
+            zip(artifact.forms, artifact.etypes),
+            key=lambda fe: (-len(fe[0]), fe[0]),
+        )
+        self._etype = {f: e for f, e in pairs}
+        if pairs:
+            pattern = "|".join(re.escape(f) for f, _ in pairs)
+            self._rx = re.compile(pattern)
+        else:
+            self._rx = None
+
+    def matches(self, text: str) -> list[tuple[int, int, str]]:
+        """Non-overlapping (begin, end, etype) hits, left to right."""
+        if self._rx is None:
+            return []
+        return [
+            (m.start(), m.end(), self._etype[m.group(0)])
+            for m in self._rx.finditer(text)
+        ]
+
+
+def emissions(text: str, matcher: LexiconMatcher) -> np.ndarray:
+    """Per-char emission scores E[T x 7] (text truncated to MAX_TAG_LEN)."""
+    t = min(len(text), MAX_TAG_LEN)
+    e = np.zeros((t, NUM_TAGS), dtype=np.float32)
+    e[:, 1:] = MISS_SCORE  # default: prefer O
+    for begin, end, etype in matcher.matches(text[:t]):
+        b_id, i_id = TAG2ID[f"B-{etype}"], TAG2ID[f"I-{etype}"]
+        e[begin, :] = MISS_SCORE
+        e[begin, b_id] = MATCH_SCORE
+        for k in range(begin + 1, min(end, t)):
+            e[k, :] = MISS_SCORE
+            e[k, i_id] = MATCH_SCORE
+    return e
+
+
+def viterbi(e: np.ndarray, a: np.ndarray) -> list[int]:
+    """Exact single-sequence Viterbi decode; ties -> lowest tag id."""
+    t = e.shape[0]
+    if t == 0:
+        return []
+    score = e[0].astype(np.float64).copy()
+    back = np.zeros((t, NUM_TAGS), dtype=np.int8)
+    for step in range(1, t):
+        cand = score[:, None] + a  # [prev, cur]
+        best_prev = cand.argmax(axis=0)  # first max -> lowest prev id
+        score = cand[best_prev, np.arange(NUM_TAGS)] + e[step]
+        back[step] = best_prev
+    path = [int(score.argmax())]
+    for step in range(t - 1, 0, -1):
+        path.append(int(back[step, path[-1]]))
+    path.reverse()
+    return path
+
+
+def viterbi_batch(
+    em_list: list[np.ndarray], a: np.ndarray
+) -> list[list[int]]:
+    """Batched Viterbi over variable-length sequences (one numpy DP).
+
+    Pads to the batch max length and runs the DP across the whole batch
+    per time step — this is the vectorized shape the Spark iterator UDF
+    uses (north star: "batched CRF Viterbi decode"). Padding steps use
+    zero emissions and identity-ish transitions; each sequence's path is
+    read back at its true length, so padding never affects the argmax
+    within the valid prefix (scores beyond len are simply ignored).
+    """
+    n = len(em_list)
+    if n == 0:
+        return []
+    lens = np.array([e.shape[0] for e in em_list], dtype=np.int64)
+    tmax = int(lens.max(initial=0))
+    if tmax == 0:
+        return [[] for _ in range(n)]
+    em = np.zeros((n, tmax, NUM_TAGS), dtype=np.float64)
+    for i, e in enumerate(em_list):
+        em[i, : e.shape[0]] = e
+    score = em[:, 0, :].copy()  # [n, 7]
+    back = np.zeros((n, tmax, NUM_TAGS), dtype=np.int8)
+    frozen = np.zeros(n, dtype=bool)
+    for step in range(1, tmax):
+        cand = score[:, :, None] + a[None, :, :]  # [n, prev, cur]
+        best_prev = cand.argmax(axis=1)  # [n, cur]
+        new_score = np.take_along_axis(cand, best_prev[:, None, :], 1)[
+            :, 0, :
+        ] + em[:, step, :]
+        # sequences already past their length keep their final score
+        frozen = lens <= step
+        score = np.where(frozen[:, None], score, new_score)
+        back[:, step, :] = best_prev
+    out: list[list[int]] = []
+    last = score.argmax(axis=1)  # per-seq best final tag (at its own len)
+    for i in range(n):
+        t = int(lens[i])
+        path = [int(last[i])]
+        for step in range(t - 1, 0, -1):
+            path.append(int(back[i, step, path[-1]]))
+        path.reverse()
+        out.append(path)
+    return out
+
+
+def decode_bio(tags: list[str], text: str) -> list[dict]:
+    """A.4 BIO->spans with IOB2 repair.
+
+    B-X opens a span; I-X continues an open span of the same type, else
+    OPENS a new one (repair); O or a type change closes. Spans are
+    (begin, end) char offsets, end-exclusive; surface = text[begin:end].
+    """
+    spans: list[dict] = []
+    cur_type: str | None = None
+    cur_begin = 0
+    for i, tag in enumerate(tags):
+        if tag == "O":
+            if cur_type is not None:
+                spans.append(_span(cur_begin, i, cur_type, text))
+                cur_type = None
+            continue
+        kind, etype = tag[0], tag[2:]
+        if kind == "B" or cur_type != etype:
+            if cur_type is not None:
+                spans.append(_span(cur_begin, i, cur_type, text))
+            cur_type, cur_begin = etype, i
+    if cur_type is not None:
+        spans.append(_span(cur_begin, len(tags), cur_type, text))
+    return spans
+
+
+def _span(begin: int, end: int, etype: str, text: str) -> dict:
+    return {
+        "begin": begin,
+        "end": end,
+        "etype": etype,
+        "surface": text[begin:end],
+    }
+
+
+def tag_text(text: str, matcher: LexiconMatcher, a: np.ndarray) -> list[str]:
+    """text -> BIO tag strings (len == min(len(text), MAX_TAG_LEN))."""
+    e = emissions(text, matcher)
+    return [TAGS[i] for i in viterbi(e, a)]

@@ -1,0 +1,133 @@
+"""Pure-unit tests (SURVEY.md §5 tier 1): Viterbi vs brute force,
+BIO decode incl. IOB2 repair, longest-match scanning, batched decode
+parity, artifact roundtrip."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from kgx.contract import NUM_TAGS, TAGS
+from kgx.tagcore import (
+    LexiconMatcher,
+    TaggerArtifact,
+    build_transitions,
+    decode_bio,
+    emissions,
+    tag_text,
+    viterbi,
+    viterbi_batch,
+)
+
+
+def brute_force(e: np.ndarray, a: np.ndarray) -> list[int]:
+    t = e.shape[0]
+    best, best_score = None, -np.inf
+    for path in itertools.product(range(NUM_TAGS), repeat=t):
+        s = e[0, path[0]]
+        for i in range(1, t):
+            s += a[path[i - 1], path[i]] + e[i, path[i]]
+        # ties -> lowest tag-id path (lexicographic), matching argmax-first
+        if s > best_score + 1e-12:
+            best, best_score = path, s
+    return list(best)
+
+
+@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("t", [1, 2, 4, 5])
+def test_viterbi_exact_vs_bruteforce(seed, t):
+    rng = np.random.RandomState(seed)
+    e = rng.randn(t, NUM_TAGS).astype(np.float32) * 3
+    a = rng.randn(NUM_TAGS, NUM_TAGS).astype(np.float32)
+    got = viterbi(e, a)
+    want = brute_force(e, a)
+    s_got = e[0, got[0]] + sum(
+        a[got[i - 1], got[i]] + e[i, got[i]] for i in range(1, t)
+    )
+    s_want = e[0, want[0]] + sum(
+        a[want[i - 1], want[i]] + e[i, want[i]] for i in range(1, t)
+    )
+    assert abs(s_got - s_want) < 1e-4  # same optimal score
+
+
+def test_viterbi_tie_breaks_low_tag():
+    e = np.zeros((3, NUM_TAGS), dtype=np.float32)
+    a = np.zeros((NUM_TAGS, NUM_TAGS), dtype=np.float32)
+    assert viterbi(e, a) == [0, 0, 0]
+
+
+def test_viterbi_batch_matches_single():
+    rng = np.random.RandomState(7)
+    a = build_transitions()
+    ems = [rng.randn(t, NUM_TAGS).astype(np.float32) * 2
+           for t in (1, 3, 8, 5, 2, 13)]
+    batch = viterbi_batch(ems, a)
+    for e, got in zip(ems, batch):
+        assert got == viterbi(e, a)
+
+
+def test_decode_bio_basic_and_repair():
+    text = "abcdefg"
+    # B-PER I-PER O B-LOC
+    spans = decode_bio(["B-PER", "I-PER", "O", "B-LOC", "I-LOC", "O", "O"],
+                       text)
+    assert [(s["begin"], s["end"], s["etype"]) for s in spans] == [
+        (0, 2, "PER"), (3, 5, "LOC")]
+    assert spans[0]["surface"] == "ab"
+    # repair: I-X after O opens a new span
+    spans = decode_bio(["O", "I-ORG", "I-ORG", "O"], "abcd")
+    assert [(s["begin"], s["end"], s["etype"]) for s in spans] == [
+        (1, 3, "ORG")]
+    # repair: type change inside I-run splits
+    spans = decode_bio(["B-PER", "I-LOC"], "ab")
+    assert [(s["begin"], s["end"], s["etype"]) for s in spans] == [
+        (0, 1, "PER"), (1, 2, "LOC")]
+    # trailing open span closes at end
+    spans = decode_bio(["O", "B-ORG", "I-ORG"], "xyz")
+    assert [(s["begin"], s["end"], s["etype"]) for s in spans] == [
+        (1, 3, "ORG")]
+
+
+def _artifact():
+    return TaggerArtifact(
+        forms=("Ana Park", "Ana", "Novagraph Inc", "Lake Virel"),
+        etypes=("PER", "PER", "ORG", "LOC"),
+        transitions=build_transitions(),
+    )
+
+
+def test_matcher_longest_match():
+    m = LexiconMatcher(_artifact())
+    hits = m.matches("Ana Park works at Novagraph Inc .")
+    assert hits == [(0, 8, "PER"), (18, 31, "ORG")]
+    hits = m.matches("Ana went home")  # shorter form still matches
+    assert hits == [(0, 3, "PER")]
+
+
+def test_tag_text_end_to_end():
+    art = _artifact()
+    m = LexiconMatcher(art)
+    text = "Ana Park visited Lake Virel ."
+    tags = tag_text(text, m, art.transitions)
+    assert len(tags) == len(text)
+    spans = decode_bio(tags, text)
+    assert [(s["surface"], s["etype"]) for s in spans] == [
+        ("Ana Park", "PER"), ("Lake Virel", "LOC")]
+    assert all(t in TAGS for t in tags)
+
+
+def test_emissions_shape_and_truncation():
+    art = _artifact()
+    m = LexiconMatcher(art)
+    e = emissions("x" * 1000, m)
+    assert e.shape == (512, NUM_TAGS)
+
+
+def test_artifact_roundtrip(tmp_path):
+    art = _artifact()
+    p = str(tmp_path / "a.npz")
+    art.save(p)
+    back = TaggerArtifact.load(p)
+    assert back.forms == art.forms
+    assert back.etypes == art.etypes
+    assert np.allclose(back.transitions, art.transitions)
