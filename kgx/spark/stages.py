@@ -1,0 +1,468 @@
+"""Pipeline stages as DataFrame -> DataFrame functions (SURVEY.md §3.2).
+
+    transcripts -ingest-> turns -tag-> tagged -> mentions
+    tagged -extract-> triples_raw
+    mentions + alias_dict -link-> links, nodes, lsh_edges
+    nodes + lsh_edges -canon-> entity_map, cc_vertices
+    triples_raw + entity_map -materialize-> edges, vertices
+
+Scale notes (SURVEY.md §4): one explicit repartition by conv_id hash up
+front; the tag+extract path is partition-local after it (window and
+groupBy keys are prefixed by conv_id). Dimension joins (alias_dict,
+patterns) broadcast. Pattern matching is a constant-folded WHEN chain
+of literal regexes (whole-stage codegen), not a Python loop. The CC
+loop localCheckpoints every iteration to cut lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kgx.contract import JACCARD_TAU, SEP
+from kgx.spark.udfs import (
+    band_key_cols,
+    decode_spans,
+    jaccard_udf,
+    minhash_sig,
+    normalize_surface,
+)
+
+CC_MAX_ITERS = 25
+
+
+def sha16_col(*cols: Column) -> Column:
+    """Spark twin of contract.sha16 (verified bit-equal in tests)."""
+    return F.substring(F.sha2(F.concat_ws(SEP, *cols), 256), 1, 16)
+
+
+def prov_id_col(etype: Column, norm: Column) -> Column:
+    return F.concat(F.lit("p_"), sha16_col(F.lit("P"), etype, norm))
+
+
+def tool_id_col(tool: Column) -> Column:
+    return F.concat(F.lit("t_"), sha16_col(F.lit("T"), tool))
+
+
+# --- ingest -----------------------------------------------------------------
+
+
+def ingest(spark, transcripts_path: str, buckets: int = 32) -> DataFrame:
+    """Scan + hygiene filter + explicit repartition by conv_id hash.
+
+    `text` is never mutated (input_hint invariant); the filter only
+    drops rows, the projection keeps all input columns.
+    """
+    df = spark.read.parquet(transcripts_path)
+    df = df.where(F.length(F.trim(F.col("text"))) > 0)
+    return df.repartition(buckets, "conv_id")
+
+
+# --- tag --------------------------------------------------------------------
+
+
+def tag(turns: DataFrame, tagger_udf) -> DataFrame:
+    """Batched CRF Viterbi tagging + span decode per turn."""
+    return turns.withColumn("tags", tagger_udf("text")).withColumn(
+        "spans", decode_spans("text", "tags")
+    )
+
+
+def mentions_of(tagged: DataFrame) -> DataFrame:
+    m = tagged.select(
+        "conv_id",
+        "turn_idx",
+        F.explode("spans").alias("sp"),
+    )
+    return m.select(
+        "conv_id",
+        "turn_idx",
+        F.col("sp.begin").alias("begin"),
+        F.col("sp.end").alias("end"),
+        F.col("sp.surface").alias("surface"),
+        F.col("sp.etype").alias("etype"),
+    )
+
+
+# --- extract ----------------------------------------------------------------
+
+# consecutive mention pairs + inter-mention text, partition-local;
+# callers must filter size(spans) >= 2 first (sequence() would descend)
+_PAIRS_EXPR = """
+transform(sequence(1, size(spans) - 1), i -> struct(
+    spans[i-1] AS m1,
+    spans[i] AS m2,
+    substring(text, spans[i-1].end + 1,
+              spans[i].begin - spans[i-1].end) AS inter))
+"""
+
+
+def extract(tagged: DataFrame, patterns_rows: list[dict]) -> DataFrame:
+    """A.6 relation extraction, fully partition-local + codegen.
+
+    Consecutive mention pairs come from a higher-order `transform` over
+    the spans array (no self-join); the first matching pattern (lowest
+    pred lexicographically) is a WHEN chain of literal regexes.
+    `uses_tool` triples join each tool turn to the conversation's first
+    PER mention (window, conv_id-local).
+    """
+    pats = sorted(patterns_rows, key=lambda p: p["pred"])
+
+    pairs = (
+        tagged.where(F.size("spans") >= 2)
+        .select(
+            "conv_id", "turn_idx", "ts",
+            F.explode(F.expr(_PAIRS_EXPR)).alias("p"),
+        )
+        .select(
+            "conv_id", "turn_idx", "ts",
+            F.col("p.m1").alias("m1"),
+            F.col("p.m2").alias("m2"),
+            F.col("p.inter").alias("inter"),
+        )
+    )
+    pred_col = F.lit(None).cast("string")
+    chain = None
+    for p in pats:
+        cond = (
+            (F.col("m1.etype") == p["subj_etype"])
+            & (F.col("m2.etype") == p["obj_etype"])
+            & F.col("inter").rlike(p["regex"])
+        )
+        chain = F.when(cond, p["pred"]) if chain is None else chain.when(
+            cond, p["pred"]
+        )
+    pred_col = chain.otherwise(F.lit(None)) if chain is not None else pred_col
+
+    rel = (
+        pairs.withColumn("pred", pred_col)
+        .where(F.col("pred").isNotNull())
+        .select(
+            "conv_id", "turn_idx",
+            F.col("m1.surface").alias("subj_surface"),
+            F.col("m1.etype").alias("subj_etype"),
+            "pred",
+            F.col("m2.surface").alias("obj_surface"),
+            F.col("m2.etype").alias("obj_etype"),
+            F.col("m1.begin").alias("subj_begin"),
+            F.col("m2.begin").alias("obj_begin"),
+            "ts",
+        )
+    )
+
+    # uses_tool: speaker = first PER mention per conv by (turn_idx, begin)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "begin")
+    speakers = (
+        mentions_of(tagged)
+        .where(F.col("etype") == "PER")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("conv_id", F.col("surface").alias("speaker_surface"))
+    )
+    tool_triples = (
+        tagged.where((F.col("role") == "tool") & F.col("tool").isNotNull())
+        .join(speakers, "conv_id")
+        .select(
+            "conv_id", "turn_idx",
+            F.col("speaker_surface").alias("subj_surface"),
+            F.lit("PER").alias("subj_etype"),
+            F.lit("uses_tool").alias("pred"),
+            F.col("tool").alias("obj_surface"),
+            F.lit("TOOL").alias("obj_etype"),
+            F.lit(-1).alias("subj_begin"),
+            F.lit(-1).alias("obj_begin"),
+            "ts",
+        )
+    )
+    return rel.unionByName(tool_triples)
+
+
+# --- link -------------------------------------------------------------------
+
+
+def dict_latest(alias_dict: DataFrame) -> DataFrame:
+    """Latest alias_dict version per (etype, alias) — as-of semantics."""
+    w = Window.partitionBy("etype", "alias").orderBy(F.desc("dict_ts"))
+    return (
+        alias_dict.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn", "dict_ts")
+    )
+
+
+def link(mentions: DataFrame, dict_df: DataFrame):
+    """A.7: exact broadcast link + MinHash-LSH fuzzy candidates.
+
+    Returns (links, nodes, lsh_edges).
+    """
+    ment = mentions.withColumn("norm", normalize_surface("surface"))
+    dic = dict_df.select(
+        F.col("etype").alias("d_etype"),
+        F.col("alias").alias("d_alias"),
+        F.col("entity_id").alias("d_entity_id"),
+        F.col("canonical_name").alias("d_canonical"),
+    )
+    exact = ment.join(
+        F.broadcast(dic),
+        (ment.etype == dic.d_etype) & (ment.norm == dic.d_alias),
+        "left",
+    ).withColumn(
+        "node_id",
+        F.coalesce(F.col("d_entity_id"),
+                   prov_id_col(F.col("etype"), F.col("norm"))),
+    )
+
+    # node rows: dict entries ∪ provisional (distinct unlinked norms)
+    dict_nodes = dic.select(
+        F.col("d_entity_id").alias("node_id"),
+        F.col("d_etype").alias("etype"),
+        F.col("d_alias").alias("norm"),
+        F.col("d_canonical").alias("display"),
+        F.lit(0).alias("is_prov"),
+    )
+    prov_nodes = (
+        ment.select("etype", "norm")
+        .distinct()
+        .join(
+            F.broadcast(dic),
+            (F.col("etype") == dic.d_etype) & (F.col("norm") == dic.d_alias),
+            "left_anti",
+        )
+        .select(
+            prov_id_col(F.col("etype"), F.col("norm")).alias("node_id"),
+            "etype",
+            "norm",
+            F.col("norm").alias("display"),
+            F.lit(1).alias("is_prov"),
+        )
+    )
+    nodes = dict_nodes.unionByName(prov_nodes)
+
+    # MinHash-LSH blocking over distinct (etype, norm) node rows
+    sig = nodes.select("etype", "norm", "node_id").withColumn(
+        "sig", minhash_sig("norm")
+    )
+    banded = sig.select(
+        "etype", "norm", "node_id", F.explode(band_key_cols()).alias("bk")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.etype") == F.col("b.etype"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.norm") < F.col("b.norm")),
+        )
+        .select(
+            F.col("a.node_id").alias("src"),
+            F.col("b.node_id").alias("dst"),
+            F.col("a.norm").alias("norm_a"),
+            F.col("b.norm").alias("norm_b"),
+        )
+        .dropDuplicates(["src", "dst", "norm_a", "norm_b"])
+    )
+    lsh_edges = (
+        cand.withColumn("sim", jaccard_udf("norm_a", "norm_b"))
+        .where(F.col("sim") >= F.lit(JACCARD_TAU))
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", "sim")
+        .dropDuplicates(["src", "dst"])
+    )
+
+    # per-node best verified sim (for links.method/score)
+    node_sim = (
+        lsh_edges.select(F.col("src").alias("nid"), "sim")
+        .unionByName(lsh_edges.select(F.col("dst").alias("nid"), "sim"))
+        .groupBy("nid")
+        .agg(F.max("sim").alias("best_sim"))
+    )
+    links = (
+        exact.join(node_sim, exact.node_id == node_sim.nid, "left")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "begin",
+            F.col("node_id").alias("entity_id"),
+            F.when(F.col("d_entity_id").isNotNull(), "exact")
+            .when(F.col("best_sim").isNotNull(), "lsh")
+            .otherwise("prov")
+            .alias("method"),
+            F.when(F.col("d_entity_id").isNotNull(), F.lit(1.0))
+            .otherwise(F.coalesce(F.col("best_sim"), F.lit(0.0)))
+            .alias("score"),
+        )
+    )
+    return links, nodes, lsh_edges
+
+
+# --- canon ------------------------------------------------------------------
+
+
+def connected_components(nodes: DataFrame, lsh_edges: DataFrame) -> DataFrame:
+    """Min-label propagation over iterative DataFrame joins.
+
+    label(v) <- min(label(v), min_{u~v} label(u)) until fixpoint;
+    localCheckpoint each iteration cuts the lineage (SURVEY §4).
+    Returns (node_id, label).
+    """
+    labels = (
+        nodes.select("node_id")
+        .distinct()
+        .withColumn("label", F.col("node_id"))
+        .localCheckpoint()
+    )
+    sym = (
+        lsh_edges.select("src", "dst")
+        .unionByName(
+            lsh_edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .localCheckpoint()
+    )
+    if sym.isEmpty():
+        return labels
+    for _ in range(CC_MAX_ITERS):
+        nbr = (
+            sym.join(labels, sym.src == labels.node_id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node_id == nbr.dst, "left")
+            .select(
+                "node_id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"CC did not converge in {CC_MAX_ITERS} iterations")
+
+
+def canonicalize(nodes: DataFrame, labels: DataFrame):
+    """A.8: per-component canonical node + entity_map + cc vertices."""
+    member = nodes.join(labels, "node_id")
+    canon = member.groupBy("label").agg(
+        F.min(
+            F.struct("is_prov", "etype", "norm", "node_id", "display")
+        ).alias("c"),
+        F.sort_array(F.collect_set("norm")).alias("aliases"),
+    )
+    entity_map = (
+        member.select("node_id", "label")
+        .distinct()
+        .join(canon.select("label", F.col("c.node_id").alias("canonical_id")),
+              "label")
+        .select("node_id", "canonical_id")
+    )
+    cc_vertices = canon.select(
+        F.col("c.node_id").alias("entity_id"),
+        F.col("c.display").alias("canonical_name"),
+        F.col("c.etype").alias("etype"),
+        "aliases",
+    )
+    return entity_map, cc_vertices
+
+
+# --- materialize -------------------------------------------------------------
+
+
+def materialize(triples_raw: DataFrame, dict_df: DataFrame,
+                entity_map: DataFrame, cc_vertices: DataFrame):
+    """Canonical edges + vertices (A.8/A.9)."""
+    dic_s = dict_df.select(
+        F.col("etype").alias("s_etype"), F.col("alias").alias("s_alias"),
+        F.col("entity_id").alias("s_ent"),
+    )
+    dic_o = dict_df.select(
+        F.col("etype").alias("o_etype"), F.col("alias").alias("o_alias"),
+        F.col("entity_id").alias("o_ent"),
+    )
+    tr = (
+        triples_raw.withColumn("subj_norm", normalize_surface("subj_surface"))
+        .withColumn("obj_norm", normalize_surface("obj_surface"))
+        .join(
+            F.broadcast(dic_s),
+            (F.col("subj_etype") == F.col("s_etype"))
+            & (F.col("subj_norm") == F.col("s_alias")),
+            "left",
+        )
+        .join(
+            F.broadcast(dic_o),
+            (F.col("obj_etype") == F.col("o_etype"))
+            & (F.col("obj_norm") == F.col("o_alias")),
+            "left",
+        )
+        .withColumn(
+            "subj_node",
+            F.coalesce(F.col("s_ent"),
+                       prov_id_col(F.col("subj_etype"), F.col("subj_norm"))),
+        )
+        .withColumn(
+            "obj_node",
+            F.when(F.col("pred") == "uses_tool",
+                   tool_id_col(F.col("obj_surface")))
+            .otherwise(
+                F.coalesce(F.col("o_ent"),
+                           prov_id_col(F.col("obj_etype"),
+                                       F.col("obj_norm")))),
+        )
+    )
+    map_s = entity_map.select(F.col("node_id").alias("sn"),
+                              F.col("canonical_id").alias("subj_id"))
+    map_o = entity_map.select(F.col("node_id").alias("on"),
+                              F.col("canonical_id").alias("obj_canon"))
+    keyed = (
+        tr.join(map_s, tr.subj_node == map_s.sn)
+        .join(map_o, tr.obj_node == map_o.on, "left")
+        .withColumn(
+            "obj_id",
+            F.when(F.col("pred") == "uses_tool", F.col("obj_node"))
+            .otherwise(F.col("obj_canon")),
+        )
+    )
+    edges = keyed.groupBy("subj_id", "pred", "obj_id").agg(
+        F.count("*").alias("weight"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+    degree = (
+        edges.select(
+            F.explode(
+                F.array_distinct(F.array("subj_id", "obj_id"))
+            ).alias("entity_id")
+        )
+        .groupBy("entity_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    tool_vertices = (
+        triples_raw.where(F.col("pred") == "uses_tool")
+        .select(F.col("obj_surface").alias("canonical_name"))
+        .distinct()
+        .select(
+            tool_id_col(F.col("canonical_name")).alias("entity_id"),
+            "canonical_name",
+            F.lit("TOOL").alias("etype"),
+            F.array(F.col("canonical_name")).alias("aliases"),
+        )
+    )
+    vertices = (
+        cc_vertices.unionByName(tool_vertices)
+        .join(degree, "entity_id", "left")
+        .withColumn("degree", F.coalesce(F.col("degree"), F.lit(0)))
+    )
+    return edges, vertices

@@ -1,0 +1,126 @@
+"""Arrow-vectorized pandas UDFs — the only Python on the executor hot
+path (SURVEY.md §2 Table B.10).
+
+`make_tagger_udf` is the iterator-of-series pattern: the frozen model
+is materialized once per Python worker (from a broadcast), then every
+Arrow batch runs ONE numpy DP over the whole batch (batched CRF Viterbi
+— north star). Everything else is vectorized pandas/numpy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kgx.contract import (
+    LSH_BANDS,
+    LSH_ROWS,
+    TAGS,
+    char_bigrams,
+    jaccard,
+    minhash_signature,
+)
+from kgx.tagcore import (
+    LexiconMatcher,
+    TaggerArtifact,
+    decode_bio,
+    emissions,
+    viterbi_batch,
+)
+
+SPAN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("begin", T.IntegerType()),
+            T.StructField("end", T.IntegerType()),
+            T.StructField("surface", T.StringType()),
+            T.StructField("etype", T.StringType()),
+        ]
+    )
+)
+
+VITERBI_CHUNK = 512  # bounds the padded DP tensor (512*512*7*8B ~ 15MB)
+
+
+def make_tagger_udf(spark: SparkSession, artifact: TaggerArtifact):
+    """text -> array<string> BIO tags; model loaded once per worker."""
+    bc = spark.sparkContext.broadcast(
+        {
+            "forms": artifact.forms,
+            "etypes": artifact.etypes,
+            "transitions": artifact.transitions,
+        }
+    )
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def tag_turns(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        art = bc.value
+        matcher = LexiconMatcher(
+            TaggerArtifact(art["forms"], art["etypes"], art["transitions"])
+        )
+        a = art["transitions"]
+        for texts in batches:
+            out = []
+            vals = texts.fillna("").tolist()
+            for i in range(0, len(vals), VITERBI_CHUNK):
+                chunk = vals[i : i + VITERBI_CHUNK]
+                ems = [emissions(t, matcher) for t in chunk]
+                for path in viterbi_batch(ems, a):
+                    out.append([TAGS[j] for j in path])
+            yield pd.Series(out)
+
+    return tag_turns
+
+
+@F.pandas_udf(SPAN_TYPE)
+def decode_spans(texts: pd.Series, tags: pd.Series) -> pd.Series:
+    """(text, tags) -> array<struct> entity spans (A.4 IOB2 repair)."""
+    out = []
+    for text, tg in zip(texts.fillna(""), tags):
+        out.append(decode_bio(list(tg) if tg is not None else [], text))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.StringType())
+def normalize_surface(s: pd.Series) -> pd.Series:
+    """A.7 normalize: NFKC -> casefold -> strip (vectorized pandas str)."""
+    return s.fillna("").str.normalize("NFKC").str.casefold().str.strip()
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_sig(norms: pd.Series) -> pd.Series:
+    """norm -> 64-perm MinHash signature (values < 2^31, safe as long)."""
+    return pd.Series(
+        [minhash_signature(n).astype(np.int64).tolist()
+         for n in norms.fillna("")]
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact char-bigram Jaccard (verify step after LSH blocking)."""
+    return pd.Series(
+        [jaccard(x, y) for x, y in zip(a.fillna(""), b.fillna(""))]
+    )
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def bigrams_udf(norms: pd.Series) -> pd.Series:
+    """Distinct char bigrams (used by the dedup/text harness ops)."""
+    return pd.Series([char_bigrams(n) for n in norms.fillna("")])
+
+
+def band_key_cols():
+    """SQL expression producing the 16 LSH band-bucket keys from a
+    64-element `sig` array column — JVM-side, no Python."""
+    keys = []
+    for band in range(LSH_BANDS):
+        lo = band * LSH_ROWS
+        parts = [F.col("sig")[i].cast("string") for i in range(lo, lo + LSH_ROWS)]
+        keys.append(F.concat(F.lit(f"{band}:"), F.concat_ws("-", *parts)))
+    return F.array(*keys)
