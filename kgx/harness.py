@@ -1,0 +1,1538 @@
+"""Per-operator driver harness (SURVEY.md §2 Table B -> queries()).
+
+Each op is a (spark_fn, oracle_sql) pair. spark_fn(spark, sf_dir)
+returns a DataFrame; oracle_sql is ANSI SQL DuckDB runs on the same
+parquet (views: region nation customer supplier part orders lineitem
+events documents embeddings). The driver compares row-count + schema +
+order-insensitive value-hash, so every computed column is aliased
+identically on both sides and floating outputs are rounded/stabilized
+(counts/sums as BIGINT; fixed-point via floor(x*1000)).
+
+Ops whose outputs are engine-specific (hash values, approx sketches,
+plans) or that run on the KG fixtures rather than driver tables have
+oracle_sql=None -> the driver records a rows-only check (and pytest
+covers their semantics instead).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kgx.contract import JACCARD_TAU
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURE_T1 = os.path.join(REPO, "fixtures", "t1")
+
+OPS: dict[str, tuple] = {}
+
+
+def op(name: str, sql: str | None):
+    def deco(fn):
+        OPS[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
+
+
+def _fixture_dir() -> str:
+    if not os.path.exists(os.path.join(FIXTURE_T1, "meta.json")):
+        from kgx import synth
+
+        synth.generate(FIXTURE_T1, "t1")
+    return FIXTURE_T1
+
+
+_PIPE_CACHE: dict[int, dict] = {}
+
+
+def _pipeline(spark: SparkSession) -> dict:
+    """Run the KG pipeline once per session on the t1 fixture; cache."""
+    key = id(spark)
+    if key not in _PIPE_CACHE:
+        from kgx.spark.pipeline import run_fixture_pipeline
+
+        _PIPE_CACHE[key] = run_fixture_pipeline(spark, _fixture_dir(),
+                                                buckets=8)
+    return _PIPE_CACHE[key]
+
+
+# =====================================================================
+# B.1 scans / sources / sinks
+# =====================================================================
+
+
+@op("scan_parquet", "SELECT r_regionkey, r_name FROM region")
+def scan_parquet(spark, sf):
+    return t(spark, sf, "region").select("r_regionkey", "r_name")
+
+
+@op(
+    "scan_json_props",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    " AS prop_k FROM events",
+)
+def scan_json_props(spark, sf):
+    return t(spark, sf, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )
+
+
+@op("scan_text_bio", None)
+def scan_text_bio(spark, sf):
+    """char<TAB>tag corpus file -> (sent_id, chars, gold_tags)."""
+    fx = _fixture_dir()
+    lines = spark.read.text(os.path.join(fx, "bio_eval.txt"))
+    # sentence id = running count of blank separator lines up to each row
+    w = Window.orderBy(F.monotonically_increasing_id())
+    parsed = lines.withColumn(
+        "is_sep", (F.col("value") == "").cast("int")
+    ).withColumn("sent_id", F.sum("is_sep").over(w))
+    return (
+        parsed.where(F.col("is_sep") == 0)
+        .select(
+            "sent_id",
+            F.substring_index("value", "\t", 1).alias("ch"),
+            F.substring_index("value", "\t", -1).alias("tag"),
+        )
+        .groupBy("sent_id")
+        .agg(
+            F.collect_list("ch").alias("chars"),
+            F.collect_list("tag").alias("gold_tags"),
+        )
+    )
+
+
+@op("sink_parquet_partitioned", None)
+def sink_parquet_partitioned(spark, sf):
+    out = os.path.join(REPO, ".kgx_out", "sink_demo")
+    df = t(spark, sf, "nation").withColumn(
+        "bucket", F.pmod(F.xxhash64("n_nationkey"), F.lit(4))
+    )
+    df.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    return spark.read.parquet(out).select("n_nationkey", "n_name", "bucket")
+
+
+@op("scan_iceberg", None)
+def scan_iceberg(spark, sf):
+    """Iceberg stand-in (runtime jars absent [E]): partitioned parquet +
+    manifest JSON via kgx.spark.io; reads back through the abstraction."""
+    from kgx.spark.io import TableIO
+
+    io = TableIO(os.path.join(REPO, ".kgx_out", "iceberg_demo"))
+    io.write(t(spark, sf, "region"), "region_copy", mode="overwrite")
+    return io.read(spark, "region_copy")
+
+
+# =====================================================================
+# B.2 projection / filter
+# =====================================================================
+
+
+@op(
+    "project_select",
+    "SELECT l_orderkey, l_linenumber,"
+    " l_extendedprice AS price FROM lineitem",
+)
+def project_select(spark, sf):
+    return t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_extendedprice").alias("price")
+    )
+
+
+@op(
+    "filter_pred",
+    "SELECT o_orderkey, o_totalprice FROM orders"
+    " WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0",
+)
+def filter_pred(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .where((F.col("o_orderstatus") == "O")
+               & (F.col("o_totalprice") > 100000.0))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@op(
+    "derive_cols",
+    "SELECT doc_id, length(text) AS text_len,"
+    " CAST(n_chars AS BIGINT) AS n_chars_src,"
+    " lower(source) AS source_lc FROM documents",
+)
+def derive_cols(spark, sf):
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("text_len"),
+        F.col("n_chars").cast("bigint").alias("n_chars_src"),
+        F.lower("source").alias("source_lc"),
+    )
+
+
+@op(
+    "filter_null_safe",
+    "SELECT event_id FROM events"
+    " WHERE event_type IS NOT DISTINCT FROM 'click'",
+)
+def filter_null_safe(spark, sf):
+    return (
+        t(spark, sf, "events")
+        .where(F.col("event_type").eqNullSafe(F.lit("click")))
+        .select("event_id")
+    )
+
+
+# =====================================================================
+# B.3 joins
+# =====================================================================
+
+_BRAND_COUNT_SQL = (
+    "SELECT p.p_brand AS p_brand, count(*) AS n,"
+    " CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty"
+    " FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"
+    " GROUP BY p.p_brand"
+)
+
+
+@op("join_broadcast_hash", _BRAND_COUNT_SQL)
+def join_broadcast_hash(spark, sf):
+    li = t(spark, sf, "lineitem")
+    pt = t(spark, sf, "part")
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        )
+    )
+
+
+@op("join_salted_equi", _BRAND_COUNT_SQL)
+def join_salted_equi(spark, sf):
+    """Same result as join_broadcast_hash, via an 8-way salted join:
+    big side gets salt = pmod(xxhash64(rowkey), 8); dim side explodes
+    x8. The oracle equality IS the salting-correctness proof."""
+    k = 8
+    li = t(spark, sf, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(k))
+    )
+    pt = (
+        t(spark, sf, "part")
+        .withColumn("salt",
+                    F.explode(F.array(*[F.lit(i) for i in range(k)])))
+        .withColumn("salt", F.col("salt").cast("long"))
+    )
+    return (
+        li.join(pt, (li.l_partkey == pt.p_partkey) & (li.salt == pt.salt))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        )
+    )
+
+
+@op(
+    "join_sort_merge",
+    "SELECT o.o_orderstatus AS o_orderstatus, count(*) AS n"
+    " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    " GROUP BY o.o_orderstatus",
+)
+def join_sort_merge(spark, sf):
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@op(
+    "join_left_outer",
+    "SELECT c.c_custkey AS c_custkey, count(o.o_orderkey) AS n_orders"
+    " FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey"
+    " GROUP BY c.c_custkey",
+)
+def join_left_outer(spark, sf):
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@op(
+    "join_left_semi",
+    "SELECT c_custkey, c_name FROM customer c WHERE EXISTS"
+    " (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def join_left_semi(spark, sf):
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@op(
+    "join_left_anti",
+    "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS"
+    " (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+    "  AND o.o_totalprice > 300000)",
+)
+def join_left_anti(spark, sf):
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@op(
+    "join_self_theta",
+    "SELECT a.n_nationkey AS nk_a, b.n_nationkey AS nk_b,"
+    " a.n_regionkey AS n_regionkey FROM nation a JOIN nation b"
+    " ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey",
+)
+def join_self_theta(spark, sf):
+    n = t(spark, sf, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_nationkey").alias("nk_a"),
+        F.col("b.n_nationkey").alias("nk_b"),
+        F.col("a.n_regionkey").alias("n_regionkey"),
+    )
+
+
+@op(
+    "join_range_interval",
+    "SELECT a.event_id AS eid_a, b.event_id AS eid_b FROM events a"
+    " JOIN events b ON a.user_id = b.user_id AND a.event_type = 'signup'"
+    " AND b.event_type = 'purchase'"
+    " AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR",
+)
+def join_range_interval(spark, sf):
+    e = t(spark, sf, "events")
+    a = e.where(F.col("event_type") == "signup").alias("a")
+    b = e.where(F.col("event_type") == "purchase").alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("a.event_id").alias("eid_a"),
+        F.col("b.event_id").alias("eid_b"),
+    )
+
+
+@op(
+    "join_asof",
+    """
+    SELECT event_id, o_orderkey FROM (
+      SELECT e.event_id AS event_id, o.o_orderkey AS o_orderkey,
+             row_number() OVER (PARTITION BY e.event_id
+                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e JOIN orders o ON e.user_id = o.o_custkey
+           AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def join_asof(spark, sf):
+    """Latest order at-or-before each event's ts for the same user —
+    the as-of pattern used for versioned alias_dict lookups."""
+    e = t(spark, sf, "events").alias("e")
+    o = t(spark, sf, "orders").alias("o")
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        e.join(
+            o,
+            (F.col("e.user_id") == F.col("o.o_custkey"))
+            & (F.col("o.o_orderdate") <= F.col("e.ts")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "o_orderkey")
+    )
+
+
+@op(
+    "join_cross_small",
+    "SELECT r.r_name AS r_name, n.n_name AS n_name"
+    " FROM region r CROSS JOIN nation n",
+)
+def join_cross_small(spark, sf):
+    return (
+        t(spark, sf, "region")
+        .crossJoin(t(spark, sf, "nation"))
+        .select("r_name", "n_name")
+    )
+
+
+@op("join_skew_aqe", None)
+def join_skew_aqe(spark, sf):
+    """Sort-merge join relying on AQE skew split (conf is set in the
+    session factory); rows-only — the check is that it runs + plan."""
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# =====================================================================
+# B.4 aggregations
+# =====================================================================
+
+
+@op(
+    "agg_hash_count",
+    "SELECT l_returnflag, l_linestatus, count(*) AS n,"
+    " CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty"
+    " FROM lineitem GROUP BY l_returnflag, l_linestatus",
+)
+def agg_hash_count(spark, sf):
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+    )
+
+
+@op(
+    "agg_distinct",
+    "SELECT l_linestatus, CAST(count(DISTINCT l_orderkey) AS BIGINT)"
+    " AS n_orders FROM lineitem GROUP BY l_linestatus",
+)
+def agg_distinct(spark, sf):
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    )
+
+
+@op("agg_approx_distinct", None)
+def agg_approx_distinct(spark, sf):
+    """HLL sketch — engine-specific estimate, rows-only (pytest asserts
+    tolerance vs exact count instead)."""
+    return (
+        t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )
+
+
+_EVENTS_AGG_SQL = (
+    "SELECT event_type, count(*) AS n,"
+    " CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS val_milli"
+    " FROM events GROUP BY event_type"
+)
+
+
+@op("agg_two_phase_salted", _EVENTS_AGG_SQL)
+def agg_two_phase_salted(spark, sf):
+    """High-cardinality-safe two-phase aggregation: partial by
+    (key, salt), final by key. Oracle equality proves salting
+    correctness. Fixed-point via floor(x*1000) keeps sums exact."""
+    k = 16
+    partial = (
+        t(spark, sf, "events")
+        .withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(k)))
+        .withColumn("val_milli",
+                    F.floor(F.col("value") * 1000).cast("bigint"))
+        .groupBy("event_type", "salt")
+        .agg(F.count("*").alias("pc"), F.sum("val_milli").alias("pv"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pc").alias("n"), F.sum("pv").alias("val_milli")
+    )
+
+
+@op(
+    "agg_collect_sorted",
+    "SELECT n_regionkey, array_to_string(list_sort(list(DISTINCT n_name)),"
+    " ',') AS names FROM nation GROUP BY n_regionkey",
+)
+def agg_collect_sorted(spark, sf):
+    return (
+        t(spark, sf, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("n_name")))
+            .alias("names")
+        )
+    )
+
+
+@op(
+    "agg_minmax_stats",
+    "SELECT o_orderstatus, count(*) AS n,"
+    " min(o_totalprice) AS min_price, max(o_totalprice) AS max_price"
+    " FROM orders GROUP BY o_orderstatus",
+)
+def agg_minmax_stats(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@op(
+    "agg_rollup",
+    "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem"
+    " GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+)
+def agg_rollup(spark, sf):
+    return (
+        t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@op(
+    "agg_cube",
+    "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem"
+    " GROUP BY CUBE (l_returnflag, l_linestatus)",
+)
+def agg_cube(spark, sf):
+    return (
+        t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@op(
+    "agg_grouping_sets",
+    "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders"
+    " GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))",
+)
+def agg_grouping_sets(spark, sf):
+    t(spark, sf, "orders").createOrReplaceTempView("kgx_orders_gs")
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n"
+        " FROM kgx_orders_gs"
+        " GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"
+    )
+
+
+@op(
+    "agg_having",
+    "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey"
+    " HAVING count(*) >= 10",
+)
+def agg_having(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 10)
+    )
+
+
+@op(
+    "agg_pivot",
+    "SELECT l_returnflag,"
+    " CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)"
+    "   AS status_o,"
+    " CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)"
+    "   AS status_f"
+    " FROM lineitem GROUP BY l_returnflag",
+)
+def agg_pivot(spark, sf):
+    p = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .count()
+    )
+    return p.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+    )
+
+
+# =====================================================================
+# B.5 windows
+# =====================================================================
+
+
+@op(
+    "win_row_number",
+    """
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def win_row_number(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+@op(
+    "win_lag_lead",
+    "SELECT o_orderkey,"
+    " lag(o_orderkey) OVER w AS prev_order,"
+    " lead(o_orderkey) OVER w AS next_order"
+    " FROM orders WINDOW w AS"
+    " (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)",
+)
+def win_lag_lead(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
+
+
+@op(
+    "win_rank_dense",
+    "SELECT c_custkey,"
+    " rank() OVER w AS rnk, dense_rank() OVER w AS drnk"
+    " FROM customer WINDOW w AS"
+    " (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)",
+)
+def win_rank_dense(spark, sf):
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), "c_custkey"
+    )
+    return t(spark, sf, "customer").select(
+        "c_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@op(
+    "win_running_frame",
+    "SELECT o_custkey, o_orderkey,"
+    " CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) OVER ("
+    " PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+    " AS running_spend FROM orders",
+)
+def win_running_frame(spark, sf):
+    # NB: ordering must be unique (l_linenumber is NOT unique per order
+    # in this dataset) — (o_orderdate, o_orderkey) is.
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.floor("o_totalprice").cast("bigint")).over(w)
+        .alias("running_spend"),
+    )
+
+
+@op(
+    "win_ntile",
+    "SELECT o_orderkey, ntile(10) OVER"
+    " (ORDER BY o_totalprice DESC, o_orderkey) AS decile FROM orders",
+)
+def win_ntile(spark, sf):
+    w = Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return t(spark, sf, "orders").select(
+        "o_orderkey", F.ntile(10).over(w).alias("decile")
+    )
+
+
+@op(
+    "win_first_last",
+    "SELECT DISTINCT o_custkey,"
+    " first_value(o_orderkey) OVER w AS first_order,"
+    " last_value(o_orderkey) OVER (PARTITION BY o_custkey"
+    "   ORDER BY o_orderdate, o_orderkey"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    "   AS last_order"
+    " FROM orders WINDOW w AS"
+    " (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)",
+)
+def win_first_last(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    return (
+        t(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(wfull).alias("last_order"),
+        )
+        .distinct()
+    )
+
+
+# =====================================================================
+# B.6 sorts / top-k
+# =====================================================================
+
+
+@op(
+    "sort_limit_topk",
+    "SELECT o_orderkey, o_totalprice FROM orders"
+    " ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+def sort_limit_topk(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@op("sort_within_partitions", None)
+def sort_within_partitions(spark, sf):
+    return (
+        t(spark, sf, "lineitem")
+        .repartition(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+@op(
+    "sort_global",
+    "SELECT n_nationkey, n_name FROM nation ORDER BY n_name",
+)
+def sort_global(spark, sf):
+    return (
+        t(spark, sf, "nation").orderBy("n_name")
+        .select("n_nationkey", "n_name")
+    )
+
+
+# =====================================================================
+# B.7 set operations
+# =====================================================================
+
+
+@op(
+    "set_union_byname",
+    "SELECT c_custkey, 'big_balance' AS tag FROM customer"
+    " WHERE c_acctbal > 9000"
+    " UNION ALL SELECT c_custkey, 'machinery' AS tag FROM customer"
+    " WHERE c_mktsegment = 'MACHINERY'",
+)
+def set_union_byname(spark, sf):
+    c = t(spark, sf, "customer")
+    a = c.where(F.col("c_acctbal") > 9000).select(
+        "c_custkey", F.lit("big_balance").alias("tag")
+    )
+    b = c.where(F.col("c_mktsegment") == "MACHINERY").select(
+        "c_custkey", F.lit("machinery").alias("tag")
+    )
+    return a.unionByName(b)
+
+
+@op(
+    "set_intersect",
+    "SELECT c_custkey FROM customer WHERE c_acctbal > 5000"
+    " INTERSECT SELECT o_custkey AS c_custkey FROM orders"
+    " WHERE o_totalprice > 200000",
+)
+def set_intersect(spark, sf):
+    a = (
+        t(spark, sf, "customer")
+        .where(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    b = (
+        t(spark, sf, "orders")
+        .where(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a.intersect(b)
+
+
+@op(
+    "set_except",
+    "SELECT c_custkey FROM customer EXCEPT"
+    " SELECT o_custkey AS c_custkey FROM orders"
+    " WHERE o_totalprice > 250000",
+)
+def set_except(spark, sf):
+    a = t(spark, sf, "customer").select("c_custkey")
+    b = (
+        t(spark, sf, "orders")
+        .where(F.col("o_totalprice") > 250000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a.exceptAll(b).distinct()
+
+
+# =====================================================================
+# B.8 scalar functions
+# =====================================================================
+
+
+@op(
+    "fn_string",
+    "SELECT p_partkey, lower(p_name) AS name_lc,"
+    " substring(p_type, 1, 5) AS type5,"
+    " concat_ws('|', p_brand, p_type) AS brand_type,"
+    " length(trim(p_name)) AS name_len,"
+    " replace(p_brand, '#', '-') AS brand_dash"
+    " FROM part",
+)
+def fn_string(spark, sf):
+    return t(spark, sf, "part").select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lc"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length(F.trim(F.col("p_name"))).alias("name_len"),
+        F.regexp_replace("p_brand", "#", "-").alias("brand_dash"),
+    )
+
+
+@op(
+    "fn_date",
+    "SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,"
+    " count(*) AS n,"
+    " CAST(min(date_part('year', o_orderdate)) AS BIGINT) AS first_year"
+    " FROM orders GROUP BY 1",
+)
+def fn_date(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.year("o_orderdate")).cast("bigint").alias("first_year"),
+        )
+    )
+
+
+@op("fn_math_hash", None)
+def fn_math_hash(spark, sf):
+    """Hash outputs are engine-specific (SURVEY B.8) — rows-only."""
+    return t(spark, sf, "nation").select(
+        "n_nationkey",
+        F.xxhash64("n_name").alias("xx"),
+        F.pmod(F.xxhash64("n_name"), F.lit(32)).alias("bucket"),
+        F.abs(F.col("n_nationkey") - 12).alias("centered"),
+        F.greatest("n_nationkey", "n_regionkey").alias("hi"),
+    )
+
+
+@op(
+    "fn_array",
+    "SELECT vec_id, len(embedding) AS dim,"
+    " round(CAST(embedding[1] AS DOUBLE), 4) AS e0,"
+    " round(CAST(list_sum(list_transform(embedding, x -> CASE WHEN x > 0"
+    "   THEN 1.0 ELSE 0.0 END)) AS DOUBLE), 1) AS n_pos"
+    " FROM embeddings",
+)
+def fn_array(spark, sf):
+    return t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.col("embedding")[0].cast("double"), 4).alias("e0"),
+        F.round(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: acc + F.when(x > 0, 1.0).otherwise(0.0),
+            ),
+            1,
+        ).alias("n_pos"),
+    )
+
+
+@op(
+    "fn_json",
+    "SELECT event_id,"
+    " CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,"
+    " CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod"
+    " FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    " > 50",
+)
+def fn_json(spark, sf):
+    e = t(spark, sf, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    return (
+        e.where(F.col("k") > 50)
+        .select("event_id", "k", (F.col("k") % 10).alias("k_mod"))
+    )
+
+
+@op(
+    "fn_struct",
+    "SELECT o_orderkey, o_custkey AS key_cust, o_orderstatus AS key_status"
+    " FROM orders",
+)
+def fn_struct(spark, sf):
+    df = t(spark, sf, "orders").withColumn(
+        "k", F.struct(F.col("o_custkey").alias("cust"),
+                      F.col("o_orderstatus").alias("status"))
+    )
+    return df.select(
+        "o_orderkey",
+        F.col("k.cust").alias("key_cust"),
+        F.col("k.status").alias("key_status"),
+    )
+
+
+@op(
+    "fn_conditional",
+    "SELECT o_orderkey,"
+    " CASE WHEN o_totalprice > 200000 THEN 'high'"
+    "      WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS band,"
+    " coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_x"
+    " FROM orders",
+)
+def fn_conditional(spark, sf):
+    o = t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("band"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN"))
+        .alias("status_x"),
+    )
+
+
+@op(
+    "fn_map",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    " AS k_via_map FROM events",
+)
+def fn_map(spark, sf):
+    """from_json into a map + element_at (props is {'k': int})."""
+    e = t(spark, sf, "events").withColumn(
+        "m", F.from_json("props", "map<string,bigint>")
+    )
+    return e.select(
+        "event_id", F.element_at("m", "k").alias("k_via_map")
+    )
+
+
+# =====================================================================
+# B.11 graph
+# =====================================================================
+
+_NATION_GRAPH_SQL_CC = (
+    "SELECT n_nationkey AS node, CAST(min(n_nationkey) OVER"
+    " (PARTITION BY n_regionkey) AS BIGINT) AS component FROM nation"
+)
+
+
+@op("graph_connected_components", _NATION_GRAPH_SQL_CC)
+def graph_connected_components(spark, sf):
+    """Run the pipeline's iterative-join CC on a graph derived from
+    driver tables (nations connected iff same region). The closed-form
+    oracle is min(n_nationkey) per region — an exact check of the CC
+    implementation."""
+    from kgx.spark.stages import connected_components
+
+    n = t(spark, sf, "nation")
+    # CC labels compare as strings — zero-pad keys so lexicographic
+    # min == numeric min
+    key = lambda c: F.lpad(F.col(c).cast("string"), 6, "0")  # noqa: E731
+    nodes = n.select(
+        key("n_nationkey").alias("node_id"),
+        F.lit("N").alias("etype"),
+        F.col("n_name").alias("norm"),
+        F.col("n_name").alias("display"),
+        F.lit(0).alias("is_prov"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.lpad(F.col("a.n_nationkey").cast("string"), 6, "0").alias("src"),
+        F.lpad(F.col("b.n_nationkey").cast("string"), 6, "0").alias("dst"),
+    )
+    labels = connected_components(nodes, edges)
+    return labels.select(
+        F.col("node_id").cast("bigint").alias("node"),
+        F.col("label").cast("bigint").alias("component"),
+    )
+
+
+@op(
+    "graph_degree",
+    "SELECT n_nationkey AS node, CAST(count(*) OVER"
+    " (PARTITION BY n_regionkey) - 1 AS BIGINT) AS degree FROM nation",
+)
+def graph_degree(spark, sf):
+    n = t(spark, sf, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_nationkey").alias("src"),
+        F.col("b.n_nationkey").alias("dst"),
+    )
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        n.select(F.col("n_nationkey").alias("node"))
+        .join(deg, "node", "left")
+        .select("node",
+                F.coalesce(F.col("degree"), F.lit(0)).alias("degree"))
+    )
+
+
+# =====================================================================
+# B.12 eval
+# =====================================================================
+
+
+@op(
+    "eval_triple_prf",
+    """
+    WITH ours AS (SELECT DISTINCT o_custkey AS k FROM orders
+                  WHERE o_totalprice > 150000),
+         ref AS (SELECT DISTINCT c_custkey AS k FROM customer
+                 WHERE c_acctbal > 2000)
+    SELECT
+      CAST((SELECT count(*) FROM ours JOIN ref ON ours.k = ref.k) AS BIGINT)
+        AS n_correct,
+      CAST((SELECT count(*) FROM ours) AS BIGINT) AS n_ours,
+      CAST((SELECT count(*) FROM ref) AS BIGINT) AS n_ref
+    """,
+)
+def eval_triple_prf(spark, sf):
+    """Set-P/R machinery (inner ∩ + counts) over two derived sets."""
+    ours = (
+        t(spark, sf, "orders")
+        .where(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    ref = (
+        t(spark, sf, "customer")
+        .where(F.col("c_acctbal") > 2000)
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    n_correct = ours.join(ref, "k").count()
+    return spark.createDataFrame(
+        [(n_correct, ours.count(), ref.count())],
+        "n_correct bigint, n_ours bigint, n_ref bigint",
+    )
+
+
+@op("eval_conlleval", None)
+def eval_conlleval(spark, sf):
+    """Distributed conlleval counts over the BIO fixture: tag with the
+    pipeline UDF, exact-span match vs gold, per-type guessed/gold/
+    correct (pytest checks the derived P/R/F1 vs the python twin)."""
+    from kgx.spark.udfs import SPAN_TYPE, make_tagger_udf
+    from kgx.tagcore import TaggerArtifact
+
+    fx = _fixture_dir()
+    art = TaggerArtifact.load(os.path.join(fx, "tagger_v1.npz"))
+    tagger = make_tagger_udf(spark, art)
+    bio = spark.read.parquet(os.path.join(fx, "bio_eval.parquet"))
+    df = (
+        bio.withColumn("text", F.concat_ws("", "chars"))
+        .withColumn("pred_tags", tagger("text"))
+    )
+    import pandas as pd
+    from kgx.tagcore import decode_bio
+
+    @F.pandas_udf(SPAN_TYPE)
+    def spans_of(tags: pd.Series, texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [decode_bio(list(tg), tx)
+             for tg, tx in zip(tags, texts.fillna(""))]
+        )
+
+    both = df.select(
+        "sent_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("gold").alias("kind"),
+                         spans_of("gold_tags", "text").alias("spans")),
+                F.struct(F.lit("pred").alias("kind"),
+                         spans_of("pred_tags", "text").alias("spans")),
+            )
+        ).alias("x"),
+    ).select(
+        "sent_id", F.col("x.kind").alias("kind"),
+        F.explode("x.spans").alias("sp")
+    ).select(
+        "sent_id", "kind",
+        F.col("sp.begin").alias("begin"), F.col("sp.end").alias("end"),
+        F.col("sp.etype").alias("etype"),
+    )
+    g = both.where(F.col("kind") == "gold").drop("kind")
+    p = both.where(F.col("kind") == "pred").drop("kind")
+    correct = g.join(p, ["sent_id", "begin", "end", "etype"]).groupBy(
+        "etype").agg(F.count("*").alias("correct"))
+    gold_n = g.groupBy("etype").agg(F.count("*").alias("gold"))
+    pred_n = p.groupBy("etype").agg(F.count("*").alias("guessed"))
+    return (
+        gold_n.join(pred_n, "etype", "outer")
+        .join(correct, "etype", "outer")
+        .fillna(0)
+    )
+
+
+@op("eval_scaling", None)
+def eval_scaling(spark, sf):
+    """Scaling evidence is produced by bench.py / BENCH (timed runs at
+    two parallelism levels); here: the pipeline edges table, rows-only."""
+    return _pipeline(spark)["edges"]
+
+
+# =====================================================================
+# KG pipeline tables (fixture-based, rows-only; parity is pytest-gated)
+# =====================================================================
+
+
+@op("pipe_mentions", None)
+def pipe_mentions(spark, sf):
+    return _pipeline(spark)["mentions"]
+
+
+@op("pipe_triples_raw", None)
+def pipe_triples_raw(spark, sf):
+    return _pipeline(spark)["triples_raw"]
+
+
+@op("pipe_links", None)
+def pipe_links(spark, sf):
+    return _pipeline(spark)["links"]
+
+
+@op("pipe_edges", None)
+def pipe_edges(spark, sf):
+    return _pipeline(spark)["edges"]
+
+
+@op("pipe_vertices", None)
+def pipe_vertices(spark, sf):
+    return _pipeline(spark)["vertices"].withColumn(
+        "aliases", F.concat_ws(",", "aliases")
+    )
+
+
+# =====================================================================
+# Training-data ops: dedup / similarity / text / multimodal
+# =====================================================================
+
+
+@op(
+    "dedup_exact",
+    "SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies"
+    " FROM documents GROUP BY md5(text)",
+)
+def dedup_exact(spark, sf):
+    """Exact dedup via content-hash groupBy; keeps lowest doc_id."""
+    return (
+        t(spark, sf, "documents")
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"),
+             F.count("*").alias("n_copies"))
+        .drop("h")
+    )
+
+
+@op("dedup_minhash_lsh", None)
+def dedup_minhash_lsh(spark, sf):
+    """MinHash+LSH near-dup candidates over documents (char-bigram
+    signatures, 16x4 bands), verified by exact Jaccard — the kgx
+    linking machinery applied to documents."""
+    from kgx.spark.udfs import band_key_cols, jaccard_udf, minhash_sig
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.lower("text").alias("norm")
+    )
+    banded = d.withColumn("sig", minhash_sig("norm")).select(
+        "doc_id", "norm", F.explode(band_key_cols()).alias("bk")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.norm").alias("na"), F.col("b.norm").alias("nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("sim", jaccard_udf("na", "nb"))
+        .where(F.col("sim") >= JACCARD_TAU)
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+    )
+
+
+@op("dedup_simhash", None)
+def dedup_simhash(spark, sf):
+    """64-bit SimHash near-dup: band on top-16 bits, verify hamming<=6
+    via bit_count(xor) — JVM-side after the signature UDF."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def simhash64(texts: pd.Series) -> pd.Series:
+        out = []
+        for txt in texts.fillna(""):
+            acc = [0] * 64
+            for tok in set(txt.split()):
+                h = int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                    "big",
+                )
+                for i in range(64):
+                    acc[i] += 1 if (h >> i) & 1 else -1
+            v = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    v |= 1 << i
+            # to signed int64
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out)
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", simhash64("text").alias("sh")
+    ).withColumn("band", F.shiftrightunsigned("sh", 48))
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))),
+        )
+        .where(F.col("hamming") <= 6)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            "hamming",
+        )
+    )
+
+
+_SHINGLE_SPARK = (
+    "transform(sequence(0, size(ws) - 3),"
+    " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+)
+
+
+@op(
+    "dedup_ngram_jaccard",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+           FROM w, UNNEST(range(1, len(ws) - 1)) AS u(i)
+           WHERE len(ws) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      count(*) AS c
+               FROM sh a JOIN sh b ON a.shingle = b.shingle
+                    AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 4) AS jac
+    FROM common JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.02
+    """,
+)
+def dedup_ngram_jaccard(spark, sf):
+    """Word-3-gram shingle Jaccard via explode + self-join (the
+    scalable exact-verification path behind MinHash)."""
+    sh = (
+        t(spark, sf, "documents")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .where(F.size("ws") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"),
+                 F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"),
+                      F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"),
+                      F.col("n").alias("nb"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jac", F.col("c") / (F.col("na") + F.col("nb")
+                                         - F.col("c")))
+        .where(F.col("jac") >= 0.02)
+        .select("id_a", "id_b", F.round("jac", 4).alias("jac"))
+    )
+
+
+@op(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+               AS qv FROM embeddings WHERE vec_id = 0),
+    d AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)
+    SELECT vec_id,
+           round(CAST(list_cosine_similarity(v, (SELECT qv FROM q))
+                 AS DOUBLE), 6) AS cos
+    FROM d
+    WHERE list_cosine_similarity(v, (SELECT qv FROM q)) >= 0.25
+    """,
+)
+def ann_cosine_topk(spark, sf):
+    """Brute-force cosine similarity search (threshold form for the
+    set-semantics oracle; top-k = orderBy(cos desc).limit(k) on the
+    same frame). JVM higher-order functions — no Python in the loop."""
+    e = t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    joined = e.crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        joined.withColumn("cos", dot / (nrm("embedding") * nrm("qv")))
+        .where(F.col("cos") >= 0.25)
+        .select("vec_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+@op("ann_lsh_bucket", None)
+def ann_lsh_bucket(spark, sf):
+    """Random-hyperplane LSH bucketing (scale path for ANN): 16-bit
+    sign sketch per vector; bucket sizes. Hyperplanes are seeded
+    constants — deterministic but engine-specific, rows-only."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rng = np.random.RandomState(7)
+    planes = rng.randn(16, 64).astype(np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket_of(embs: pd.Series) -> pd.Series:
+        out = []
+        for v in embs:
+            x = np.asarray(v, dtype=np.float64)
+            bits = (planes @ x) > 0
+            out.append(int(sum(1 << i for i, b in enumerate(bits) if b)))
+        return pd.Series(out)
+
+    return (
+        t(spark, sf, "embeddings")
+        .select("vec_id", bucket_of("embedding").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"),
+             F.min("vec_id").alias("min_vec"))
+    )
+
+
+@op(
+    "text_langid",
+    "SELECT doc_id, CASE WHEN (length(text) - length(replace(text,"
+    " ' the ', ''))) / 5 >= 1 OR text LIKE 'the %' THEN 'en'"
+    " ELSE 'unknown' END AS lang_pred FROM documents",
+)
+def text_langid(spark, sf):
+    """Stopword-cue language heuristic (real systems: char-n-gram
+    profiles; same relational shape)."""
+    d = t(spark, sf, "documents")
+    the_count = (
+        (F.length("text") - F.length(F.regexp_replace("text", " the ", "")))
+        / 5
+    )
+    return d.select(
+        "doc_id",
+        F.when((the_count >= 1) | F.col("text").startswith("the "), "en")
+        .otherwise("unknown")
+        .alias("lang_pred"),
+    )
+
+
+@op(
+    "text_quality",
+    "SELECT doc_id, length(text) AS n_chars_q,"
+    " CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,"
+    " round(length(replace(text, ' ', '')) * 1.0 / length(text), 4)"
+    "   AS ink_ratio"
+    " FROM documents WHERE length(text) > 0",
+)
+def text_quality(spark, sf):
+    d = t(spark, sf, "documents").where(F.length("text") > 0)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_q"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", ""))
+            / F.length("text"),
+            4,
+        ).alias("ink_ratio"),
+    )
+
+
+@op(
+    "text_tokens",
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws,"
+    " CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_word"
+    " FROM documents",
+)
+def text_tokens(spark, sf):
+    """Whitespace + regex token counting (BPE-ish \\w+ proxy)."""
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)"))
+        .alias("n_word"),
+    )
+
+
+@op("text_fingerprint", None)
+def text_fingerprint(spark, sf):
+    """Rolling polynomial fingerprint (Rabin-style) per document —
+    deterministic but not SQL-expressible, rows-only + pytest."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    MOD = (1 << 61) - 1
+    BASE = 257
+
+    @F.pandas_udf(T.LongType())
+    def fingerprint(texts: pd.Series) -> pd.Series:
+        out = []
+        for txt in texts.fillna(""):
+            h = 0
+            for ch in txt:
+                h = (h * BASE + ord(ch)) % MOD
+            out.append(h)
+        return pd.Series(out)
+
+    return t(spark, sf, "documents").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+
+
+@op("mm_decode_stub", None)
+def mm_decode_stub(spark, sf):
+    """Multimodal plumbing: binary payload column + typed metadata via
+    mapInPandas. Decode itself is a clearly-marked deterministic FAKE
+    (image/audio libs absent in this container); the Spark-side schema,
+    batching and partitioning are real."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.IntegerType()),
+            T.StructField("fake_width", T.IntegerType()),
+            T.StructField("fake_height", T.IntegerType()),
+        ]
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                # STUB: a real decoder (PIL/ffmpeg) is unavailable here;
+                # derive deterministic fake dimensions from the content
+                h = hashlib.blake2b(raw, digest_size=4).digest()
+                rows.append((int(doc_id), len(raw),
+                             64 + h[0] % 192, 64 + h[1] % 192))
+            import pandas as pd
+
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "fake_width",
+                               "fake_height"]
+            )
+
+    return d.mapInPandas(decode, schema)
+
+
+def queries():
+    return {name: fn for name, (fn, _) in OPS.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_, sql) in OPS.items() if sql is not None}
