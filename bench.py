@@ -1,0 +1,129 @@
+"""Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the full KG
+pipeline on the bench-scale synthetic transcripts fixture.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": X}
+
+Extra keys (informational, not part of the driver contract):
+  turns_per_sec  — KG pipeline throughput (bench fixture)
+  rows           — per-query output row counts
+
+Usage: python bench.py            # full (all headline queries)
+       python bench.py --quick    # iterate-fast subset
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_FIXTURE = os.path.join(REPO, "fixtures", "bench")
+
+# headline harness ops: heavy, scale-relevant, one per family
+HEADLINE = [
+    "dedup_minhash_lsh",       # shingle->minhash->band->self-join
+    "dedup_exact",             # hash groupBy over documents
+    "ann_cosine_topk",         # brute-force cosine top-k (embeddings)
+    "graph_connected_components",  # iterative joins
+    "agg_two_phase_salted",    # skew-safe aggregation
+    "join_salted_equi",        # skew-safe join
+    "join_sort_merge",         # large-large join
+    "win_row_number",          # windowed per-key ordering
+    "text_quality",            # documents scan + scalar pipeline
+    "agg_cube",                # multi-dim aggregate
+]
+QUICK = ["dedup_exact", "win_row_number", "join_sort_merge"]
+
+
+def _force(df) -> int:
+    """Execute the full plan without collecting to the driver."""
+    return df.count()
+
+
+def ensure_bench_fixture() -> str:
+    if not os.path.exists(os.path.join(BENCH_FIXTURE, "meta.json")):
+        from kgx import synth
+
+        synth.generate(BENCH_FIXTURE, "bench")
+    return BENCH_FIXTURE
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    from kgx.spark.session import get_spark
+
+    spark = get_spark("kgx-bench", cores=CPUS,
+                      shuffle_partitions=max(CPUS, 32))
+
+    import __spark_entry__ as entrymod
+    from kgx import harness
+
+    queries: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    # 1) flagship entry (sf0.001 by contract)
+    t0 = time.time()
+    rows["flagship"] = _force(entrymod.entry(spark))
+    queries["flagship"] = round(time.time() - t0, 3)
+
+    # 2) headline operator queries at SF_DIR
+    qmap = harness.queries()
+    for name in (QUICK if quick else HEADLINE):
+        t0 = time.time()
+        rows[name] = _force(qmap[name](spark, SF_DIR))
+        queries[name] = round(time.time() - t0, 3)
+
+    # 3) full KG pipeline, bench fixture, end-to-end (cold warehouse)
+    if not quick:
+        import shutil
+        import tempfile
+
+        from kgx.spark.run import Runner
+
+        fix = ensure_bench_fixture()
+        n_turns = spark.read.parquet(
+            os.path.join(fix, "transcripts.parquet")).count()
+        wh = tempfile.mkdtemp(prefix="kgx_bench_wh_")
+        try:
+            t0 = time.time()
+            Runner(spark, fix, wh, "bench", buckets=CPUS).run()
+            dt = time.time() - t0
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+        queries["kg_pipeline"] = round(dt, 3)
+        turns_per_sec = round(n_turns / dt, 1)
+    else:
+        turns_per_sec = None
+
+    total = round(sum(queries.values()), 3)
+    sf = None
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            sf = float(base[2:])
+        except ValueError:
+            pass
+    out = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": CPUS,
+        "turns_per_sec": turns_per_sec,
+        "rows": rows,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1530,6 +1530,197 @@ def mm_decode_stub(spark, sf):
     return d.mapInPandas(decode, schema)
 
 
+# =====================================================================
+# B.10 UDF / UDAF surface + sink_manifest (SURVEY.md Table B rows not
+# already exercised above by name)
+# =====================================================================
+
+
+@op(
+    "udf_scalar_pandas",
+    "SELECT doc_id,"
+    " lower(regexp_replace(text, '[0-9]', '#', 'g')) AS enc"
+    " FROM documents",
+)
+def udf_scalar_pandas(spark, sf):
+    """A.3 char-class encoding as a Series->Series pandas UDF (digits
+    masked, case folded) — the vectorized encode path, value-checked
+    against DuckDB."""
+
+    @F.pandas_udf(T.StringType())
+    def enc(s: pd.Series) -> pd.Series:
+        return s.fillna("").str.replace(r"[0-9]", "#", regex=True).str.lower()
+
+    return t(spark, sf, "documents").select("doc_id", enc("text").alias("enc"))
+
+
+@op("udf_iter_tagger", None)
+def udf_iter_tagger(spark, sf):
+    """Iterator-of-series batched CRF Viterbi tagger over the fixture
+    transcripts (model loaded once per worker). Parity vs the
+    sequential oracle is pytest-gated (tests/test_spark_parity.py)."""
+    tagged = _pipeline(spark)["tagged"]
+    return tagged.select(
+        "conv_id",
+        "turn_idx",
+        F.size("tags").alias("n_tags"),
+        F.size(F.filter("tags", lambda x: x != "O")).alias("n_entity_chars"),
+    )
+
+
+@op("udf_span_decode", None)
+def udf_span_decode(spark, sf):
+    """BIO -> span structs (A.4 IOB2 repair) via pandas UDF + explode;
+    semantics pytest-gated vs the pure-Python twin."""
+    tagged = _pipeline(spark)["tagged"]
+    return tagged.select(
+        "conv_id", "turn_idx", F.size("spans").alias("n_spans")
+    )
+
+
+@op(
+    "udf_grouped_map",
+    "WITH last AS ("
+    " SELECT user_id, event_type AS last_type, row_number() OVER ("
+    "   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn"
+    " FROM events)"
+    " SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_events,"
+    " CAST(SUM(CAST(floor(e.value * 1000) AS BIGINT)) AS BIGINT)"
+    "   AS val_milli,"
+    " any_value(l.last_type) AS last_type"
+    " FROM events e JOIN last l ON e.user_id = l.user_id AND l.rn = 1"
+    " GROUP BY e.user_id",
+)
+def udf_grouped_map(spark, sf):
+    """groupBy(key).applyInPandas with in-group ordering — the per-conv
+    grouped-decode pattern, value-checked against SQL aggregation."""
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("val_milli", T.LongType()),
+            T.StructField("last_type", T.StringType()),
+        ]
+    )
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "val_milli": [int(np.floor(pdf["value"] * 1000).sum())],
+                "last_type": [pdf["event_type"].iloc[-1]],
+            }
+        )
+
+    return (
+        t(spark, sf, "events")
+        .groupBy("user_id")
+        .applyInPandas(per_user, schema)
+    )
+
+
+@op(
+    "udf_map_partitions",
+    "SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,"
+    " CAST(SUM(l_orderkey) AS BIGINT) AS key_sum FROM lineitem",
+)
+def udf_map_partitions(spark, sf):
+    """mapInPandas per-partition counters (the lineage-metrics pattern,
+    kgx.spark.run.partition_lineage) folded to a partitioning-invariant
+    total so DuckDB can value-check it."""
+    schema = "p_rows bigint, p_keysum bigint"
+
+    def counters(batches):
+        rows = 0
+        keysum = 0
+        for pdf in batches:
+            rows += len(pdf)
+            keysum += int(pdf["l_orderkey"].sum())
+        yield pd.DataFrame({"p_rows": [rows], "p_keysum": [keysum]})
+
+    per_part = (
+        t(spark, sf, "lineitem").select("l_orderkey")
+        .mapInPandas(counters, schema)
+    )
+    return per_part.agg(
+        F.sum("p_rows").cast("bigint").alias("total_rows"),
+        F.sum("p_keysum").cast("bigint").alias("key_sum"),
+    )
+
+
+@op(
+    "udf_grouped_agg",
+    "SELECT l_returnflag,"
+    " CAST(floor(SUM(l_extendedprice * (1 - l_discount)) / SUM(l_quantity)"
+    "   * 1000) AS BIGINT) AS wavg_milli"
+    " FROM lineitem GROUP BY l_returnflag",
+)
+def udf_grouped_agg(spark, sf):
+    """Grouped-aggregate pandas UDF (per-group numpy reduction) — the
+    per-shard-F1 pattern, here a weighted average value-checked vs SQL."""
+
+    @F.pandas_udf(T.DoubleType())
+    def wavg(price: pd.Series, disc: pd.Series, qty: pd.Series) -> float:
+        return float((price * (1 - disc)).sum() / qty.sum())
+
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            wavg("l_extendedprice", "l_discount", "l_quantity").alias("w")
+        )
+        .select(
+            "l_returnflag",
+            F.floor(F.col("w") * 1000).cast("bigint").alias("wavg_milli"),
+        )
+    )
+
+
+@op("udf_minhash", None)
+def udf_minhash(spark, sf):
+    """Char-bigram MinHash signatures (64 fixed-seed perms) as an
+    ARRAY<BIGINT> column + band keys — signature values are our own
+    hash family (not DuckDB-expressible); Jaccard-estimate accuracy is
+    pytest-gated (tests/test_contract.py)."""
+    from kgx.spark.udfs import band_key_cols, minhash_sig
+
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", F.lower(F.col("text")).alias("norm"))
+        .withColumn("sig", minhash_sig("norm"))
+        .select(
+            "doc_id",
+            F.size("sig").alias("sig_len"),
+            F.size(F.array_distinct(band_key_cols())).alias("n_bands"),
+        )
+    )
+
+
+@op("sink_manifest", None)
+def sink_manifest(spark, sf):
+    """Stage manifest sink (resumability contract): write a table via
+    TableIO (parquet + JSON manifest commit marker), read the manifest
+    back as rows."""
+    import tempfile
+
+    from kgx.spark.io import TableIO, fingerprint_paths
+
+    src = os.path.join(sf, "region.parquet")
+    with tempfile.TemporaryDirectory(prefix="kgx_manifest_") as wh:
+        io = TableIO(wh)
+        df = spark.read.parquet(src)
+        man = io.write(df, "region_copy",
+                       inputs_fingerprint=fingerprint_paths(src))
+        complete = io.is_complete("region_copy",
+                                  fingerprint_paths(src))
+    return spark.createDataFrame(
+        [(man["table"], int(man["rows"]), bool(complete))],
+        "table string, rows bigint, complete boolean",
+    )
+
+
 def queries():
     return {name: fn for name, (fn, _) in OPS.items()}
 

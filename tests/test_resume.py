@@ -1,0 +1,113 @@
+"""Checkpoint/resume + per-partition lineage metrics (north_rule:
+"resumable from checkpoint with per-partition lineage + metrics").
+
+Simulated failure after stage k -> re-run skips 1..k, completes, and
+final edges/vertices content hashes equal a clean single-shot run's.
+"""
+
+import glob
+import os
+
+import pytest
+
+from kgx.spark.run import Runner, table_content_hash
+
+
+def _hashes(runner, table):
+    rows = [
+        r.asDict()
+        for r in runner.read("metrics")
+        .where(f"table = '{table}'")
+        .collect()
+    ]
+    return table_content_hash(rows)
+
+
+@pytest.fixture(scope="module")
+def warehouses(tmp_path_factory):
+    return tmp_path_factory.mktemp("wh")
+
+
+def test_resume_after_simulated_failure(spark, t1_dir, warehouses):
+    wh_a = str(warehouses / "clean")
+    wh_b = str(warehouses / "resumed")
+
+    clean = Runner(spark, t1_dir, wh_a, "clean", buckets=8)
+    clean.run()
+    assert all(not e.get("skipped") for e in clean.events)
+
+    # run B: die after 'extract', then resume
+    first = Runner(spark, t1_dir, wh_b, "b1", buckets=8)
+    first.run(upto="extract")
+    done = {e["table"] for e in first.events}
+    assert "triples_raw" in done and "edges" not in done
+
+    resumed = Runner(spark, t1_dir, wh_b, "b2", buckets=8)
+    resumed.run()
+    skipped = {e["table"] for e in resumed.events if e.get("skipped")}
+    assert {"turns", "tagged", "triples_raw", "mentions"} <= skipped
+    ran = {e["table"] for e in resumed.events if not e.get("skipped")}
+    assert {"links", "nodes", "lsh_edges", "entity_map", "edges",
+            "vertices"} <= ran
+
+    # identical final output content (order/partitioning-insensitive)
+    for table in ("edges", "vertices", "triples_raw", "mentions"):
+        a = clean.read(table)
+        b = resumed.read(table)
+        assert a.count() == b.count()
+        assert (
+            a.exceptAll(b.select(a.columns)).count() == 0
+            and b.select(a.columns).exceptAll(a).count() == 0
+        ), table
+
+
+def test_metrics_lineage_rows(spark, t1_dir, warehouses):
+    wh = str(warehouses / "clean")
+    r = Runner(spark, t1_dir, wh, "clean", buckets=8)
+    m = r.read("metrics")
+    cols = set(m.columns)
+    assert {"run_id", "stage", "table", "partition_id", "rows", "bytes",
+            "content_hash", "wall_ms"} <= cols
+    per_table = {
+        row["table"]: row["s"]
+        for row in m.groupBy("table").sum("rows")
+        .withColumnRenamed("sum(rows)", "s").collect()
+    }
+    for table in ("turns", "mentions", "triples_raw", "edges", "vertices"):
+        assert per_table.get(table, 0) == r.read(table).count(), table
+
+
+def test_input_change_invalidates_resume(spark, t1_dir, warehouses,
+                                         tmp_path):
+    """Touching an input file changes the fingerprint -> stage re-runs."""
+    import shutil
+
+    fix = tmp_path / "fix"
+    shutil.copytree(t1_dir, fix)
+    wh = str(tmp_path / "wh")
+    r1 = Runner(spark, str(fix), wh, "r1", buckets=8)
+    r1.run(upto="ingest")
+
+    # bump mtime (same content, new fingerprint)
+    tp = fix / "transcripts.parquet"
+    st = os.stat(tp)
+    os.utime(tp, ns=(st.st_atime_ns, st.st_mtime_ns + 10**9))
+
+    r2 = Runner(spark, str(fix), wh, "r2", buckets=8)
+    r2.stage_ingest()
+    assert all(not e.get("skipped") for e in r2.events)
+
+
+def test_manifest_commit_marker(spark, t1_dir, tmp_path):
+    """Manifest is written only after data lands: a data dir without a
+    manifest is treated as incomplete (crash-during-write safety)."""
+    wh = str(tmp_path / "wh")
+    r = Runner(spark, t1_dir, wh, "r", buckets=8)
+    r.stage_ingest()
+    os.remove(r.io.manifest_path("turns"))
+    assert not r.io.is_complete("turns")
+    r2 = Runner(spark, t1_dir, wh, "r2", buckets=8)
+    r2.stage_ingest()
+    assert not r2.events[0].get("skipped")
+    assert glob.glob(os.path.join(wh, "turns", "**", "*.parquet"),
+                     recursive=True)
