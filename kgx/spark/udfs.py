@@ -115,6 +115,28 @@ def bigrams_udf(norms: pd.Series) -> pd.Series:
     return pd.Series([char_bigrams(n) for n in norms.fillna("")])
 
 
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def shingle_minhash_sig(texts: pd.Series) -> pd.Series:
+    """Document text -> 64-perm MinHash over 3-word shingles (the
+    document-scale dedup granularity; char bigrams degenerate there)."""
+    from kgx.contract import shingle_minhash
+
+    return pd.Series(
+        [shingle_minhash(t).astype(np.int64).tolist()
+         for t in texts.fillna("")]
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def shingle_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact 3-word-shingle Jaccard (verify step for document dedup)."""
+    from kgx.contract import shingle_jaccard
+
+    return pd.Series(
+        [shingle_jaccard(x, y) for x, y in zip(a.fillna(""), b.fillna(""))]
+    )
+
+
 def band_key_cols():
     """SQL expression producing the 16 LSH band-bucket keys from a
     64-element `sig` array column — JVM-side, no Python."""

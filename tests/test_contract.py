@@ -61,3 +61,43 @@ def test_band_keys_shape():
     keys = band_keys(minhash_signature("ana park"))
     assert len(keys) == LSH_BANDS
     assert MINHASH_PERMS == LSH_BANDS * LSH_ROWS
+
+
+# --- word-shingle minhash (document dedup granularity) -----------------------
+
+
+def test_shingle_jaccard_separates_docs():
+    from kgx.contract import shingle_jaccard, word_shingles
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "band plays a slow tune in the old town square tonight")
+    near = base.replace("slow tune", "fast tune")
+    other = ("completely different words about spark shuffles and "
+             "partition pruning at terabyte scale with salted joins")
+    assert shingle_jaccard(base, base) == 1.0
+    assert shingle_jaccard(base, near) >= 0.7
+    assert shingle_jaccard(base, other) < 0.05
+    assert word_shingles("one two", k=3) == ["one two"]
+    assert word_shingles("", k=3) == []
+
+
+def test_shingle_minhash_estimates_and_bands():
+    import numpy as np
+
+    from kgx.contract import (
+        band_keys,
+        shingle_jaccard,
+        shingle_minhash,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    near = base.replace("iota kappa", "iota kappa2")
+    far = "uno dos tres cuatro cinco seis siete ocho nueve diez once"
+    sa, sn, sf_ = (shingle_minhash(t) for t in (base, near, far))
+    est = float((sa == sn).mean())
+    assert abs(est - shingle_jaccard(base, near)) < 0.25
+    # near-dup collides in >=1 band; unrelated docs collide in none
+    assert set(band_keys(sa)) & set(band_keys(sn))
+    assert not set(band_keys(sa)) & set(band_keys(sf_))
+    assert sa.dtype == np.uint64 and len(sa) == 64
