@@ -37,19 +37,26 @@ class TableIO:
         partition_by: list[str] | None = None,
         inputs_fingerprint: str | None = None,
         extra: dict | None = None,
+        rows: int | None = None,
     ) -> dict:
-        """Write parquet + manifest; manifest lands last (commit marker)."""
+        """Write parquet + manifest; manifest lands last (commit marker).
+
+        Row count comes from the caller (e.g. an Observation collected
+        during the write job) or, failing that, from the parquet
+        footers — never from a second full scan of the data.
+        """
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
         t0 = time.time()
         w.parquet(self.path(table))
-        back = df.sparkSession.read.parquet(self.path(table))
+        if rows is None:
+            rows = sum(r for _, r, _ in self.file_stats(table))
         manifest = {
             "table": table,
             "complete": True,
-            "rows": back.count(),
-            "schema": back.schema.jsonValue(),
+            "rows": rows,
+            "schema": df.schema.jsonValue(),
             "partition_by": partition_by or [],
             "inputs_fingerprint": inputs_fingerprint,
             "wall_s": round(time.time() - t0, 3),
@@ -58,6 +65,26 @@ class TableIO:
         with open(self.manifest_path(table), "w") as f:
             json.dump(manifest, f, indent=2)
         return manifest
+
+    def file_stats(self, table: str) -> list[tuple[str, int, int]]:
+        """(relpath, rows, bytes) per output parquet file, straight from
+        the footers (driver-side metadata read; no data scan). One file
+        per write task -> these are the per-partition lineage counters."""
+        import pyarrow.parquet as pq
+
+        root = self.path(table)
+        out = []
+        for dp, _, fns in os.walk(root):
+            for fn in sorted(fns):
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(dp, fn)
+                md = pq.ParquetFile(p).metadata
+                out.append(
+                    (os.path.relpath(p, root), md.num_rows,
+                     os.path.getsize(p))
+                )
+        return out
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self.path(table))

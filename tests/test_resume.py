@@ -10,17 +10,7 @@ import os
 
 import pytest
 
-from kgx.spark.run import Runner, table_content_hash
-
-
-def _hashes(runner, table):
-    rows = [
-        r.asDict()
-        for r in runner.read("metrics")
-        .where(f"table = '{table}'")
-        .collect()
-    ]
-    return table_content_hash(rows)
+from kgx.spark.run import Runner
 
 
 @pytest.fixture(scope="module")
@@ -45,13 +35,16 @@ def test_resume_after_simulated_failure(spark, t1_dir, warehouses):
     resumed = Runner(spark, t1_dir, wh_b, "b2", buckets=8)
     resumed.run()
     skipped = {e["table"] for e in resumed.events if e.get("skipped")}
-    assert {"turns", "tagged", "triples_raw", "mentions"} <= skipped
+    assert {"turns", "triples_raw", "mentions"} <= skipped
     ran = {e["table"] for e in resumed.events if not e.get("skipped")}
     assert {"links", "nodes", "lsh_edges", "entity_map", "edges",
             "vertices"} <= ran
 
-    # identical final output content (order/partitioning-insensitive)
+    # identical final output content (order/partitioning-insensitive):
+    # manifest content signatures first, then exact set equality
     for table in ("edges", "vertices", "triples_raw", "mentions"):
+        assert (clean.io.manifest(table)["content_hash"]
+                == resumed.io.manifest(table)["content_hash"]), table
         a = clean.read(table)
         b = resumed.read(table)
         assert a.count() == b.count()
