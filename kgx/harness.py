@@ -1133,8 +1133,26 @@ def eval_conlleval(spark, sf):
 
 @op("eval_scaling", None)
 def eval_scaling(spark, sf):
-    """Scaling evidence is produced by bench.py / BENCH (timed runs at
-    two parallelism levels); here: the pipeline edges table, rows-only."""
+    """Two-parallelism scaling evidence: surfaces the measured
+    BENCH/scaling.json (written by scripts/scaling_bench.py — taskset-
+    pinned local[8] vs local[32] on identical input with content-hash
+    equality) as rows; falls back to the pipeline edges table if no
+    measurement exists yet."""
+    import json
+
+    p = os.path.join(REPO, "BENCH", "scaling.json")
+    if os.path.exists(p):
+        d = json.load(open(p))
+        rows = [
+            (int(k), float(v["wall_s"]), float(v["turns_per_sec"]),
+             float(d["value"]), bool(d["outputs_identical"]))
+            for k, v in d["levels"].items()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "cores int, wall_s double, turns_per_sec double, "
+            "efficiency double, outputs_identical boolean",
+        )
     return _pipeline(spark)["edges"]
 
 

@@ -10,7 +10,7 @@ byte-identical output (tested in tests/test_resume.py).
 
 Per-partition lineage costs (nearly) nothing extra: row count and an
 order-insensitive content signature are collected DURING the write job
-via `df.observe` (sum of per-row crc32 — commutative, so invariant
+via `df.observe` (sum of per-row murmur3 — commutative, so invariant
 under partitioning/parallelism; this is what the local[8]-vs-local[32]
 equality assertion in bench uses), and per-output-file counters
 (rows, bytes) come from the parquet footers (driver-side metadata
@@ -42,7 +42,6 @@ from pyspark.sql import functions as F
 
 from kgx.spark import stages
 from kgx.spark.io import TableIO, fingerprint_paths
-from kgx.spark.udfs import make_tagger_udf
 from kgx.tagcore import TaggerArtifact
 
 STAGES = ("ingest", "tag", "extract", "link", "canon", "materialize")
@@ -98,13 +97,15 @@ def table_content_hash(metrics_rows: list[dict]) -> str:
 
 def content_sig_col(df: DataFrame):
     """Order/partitioning-invariant content signature aggregate:
-    sum of per-row crc32 over all columns (null-sentineled), computed
-    JVM-side inside whatever job consumes it (no extra scan)."""
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("∅"))
-        for c in df.columns
-    ]
-    return F.sum(F.crc32(F.concat_ws("\x1f", *parts))).alias("sig")
+    sum of per-row murmur3 hashes, computed JVM-side inside whatever
+    job consumes it (no extra scan). F.hash handles nested
+    array/struct columns natively — no stringification (casting a
+    spans array<struct> to string per row measured ~30% of the tag
+    stage). Engine-specific values, but only ever compared
+    Spark-to-Spark (resume identity, N-vs-4N equality)."""
+    return F.sum(
+        F.hash(*[F.col(c) for c in df.columns]).cast("bigint")
+    ).alias("sig")
 
 
 class Runner:
@@ -133,7 +134,9 @@ class Runner:
 
     def tagger(self):
         if self._tagger is None:
-            self._tagger = make_tagger_udf(
+            from kgx.spark.udfs import make_tagger_spans_udf
+
+            self._tagger = make_tagger_spans_udf(
                 self.spark, TaggerArtifact.load(self.artifact_path)
             )
         return self._tagger
@@ -188,6 +191,24 @@ class Runner:
             self.io.path("metrics"))
         self._metrics_rows = []
 
+    def _stage_seq(self, stage: str, builders: dict,
+                   input_paths: list[str], partition_by=None) -> None:
+        """Sequenced multi-output stage: each builder may read back the
+        outputs committed before it (so shared sub-plans — the LSH
+        self-join, the big edges join — run once, not once per
+        dependent output)."""
+        fp = fingerprint_paths(*input_paths) + f"|b{self.buckets}"
+        pending = [t for t in builders if not self.io.is_complete(t, fp)]
+        if not pending:
+            for t in builders:
+                self.events.append(
+                    {"stage": stage, "table": t, "skipped": True,
+                     "rows": self.io.manifest(t)["rows"]}
+                )
+            return
+        for t, build in builders.items():
+            self._commit(stage, t, build(), fp, partition_by=partition_by)
+
     def _stage(self, stage: str, outputs: dict[str, DataFrame],
                input_paths: list[str], partition_by=None) -> None:
         fp = fingerprint_paths(*input_paths) + f"|b{self.buckets}"
@@ -228,9 +249,8 @@ class Runner:
 
     def stage_tag(self):
         turns = self.read("turns")
-        tagged = stages.tag(turns, self.tagger())
-        # spans checkpointed; tags themselves are derivable + bulky
-        self._stage("tag", {"tagged": tagged.drop("tags")},
+        tagged = stages.tag_spans(turns, self.tagger())
+        self._stage("tag", {"tagged": tagged},
                     [self.io.path("turns"), self.artifact_path],
                     partition_by=["bucket"])
 
@@ -247,8 +267,7 @@ class Runner:
             # so fused mode recomputes the tagger per output instead —
             # only worth it when resume granularity matters less than
             # storage
-            tagged = stages.tag(self.read("turns"), self.tagger()).drop(
-                "tags")
+            tagged = stages.tag_spans(self.read("turns"), self.tagger())
             inputs = [self.io.path("turns"), self.artifact_path,
                       self.in_path("patterns")]
         else:
@@ -267,12 +286,16 @@ class Runner:
         mentions = self.read("mentions")
         dict_df = stages.dict_latest(
             self.spark.read.parquet(self.in_path("alias_dict")))
-        links, nodes, lsh_edges = stages.link(mentions, dict_df)
-        self._stage("link",
-                    {"links": links, "nodes": nodes,
-                     "lsh_edges": lsh_edges},
-                    [self.io.path("mentions"),
-                     self.in_path("alias_dict")])
+        self._stage_seq(
+            "link",
+            {
+                "nodes": lambda: stages.link_nodes(mentions, dict_df),
+                "lsh_edges": lambda: stages.link_lsh_edges(
+                    self.read("nodes")),
+                "links": lambda: stages.link_links(
+                    mentions, dict_df, self.read("lsh_edges")),
+            },
+            [self.io.path("mentions"), self.in_path("alias_dict")])
 
     def stage_canon(self):
         labels = stages.connected_components(self.read("nodes"),
@@ -287,15 +310,20 @@ class Runner:
     def stage_materialize(self):
         dict_df = stages.dict_latest(
             self.spark.read.parquet(self.in_path("alias_dict")))
-        edges, vertices = stages.materialize(
-            self.read("triples_raw"), dict_df,
-            self.read("entity_map"), self.read("cc_vertices"))
-        self._stage("materialize",
-                    {"edges": edges, "vertices": vertices},
-                    [self.io.path("triples_raw"),
-                     self.io.path("entity_map"),
-                     self.io.path("cc_vertices"),
-                     self.in_path("alias_dict")])
+        self._stage_seq(
+            "materialize",
+            {
+                "edges": lambda: stages.materialize_edges(
+                    self.read("triples_raw"), dict_df,
+                    self.read("entity_map")),
+                "vertices": lambda: stages.materialize_vertices(
+                    self.read("edges"), self.read("cc_vertices"),
+                    self.read("triples_raw")),
+            },
+            [self.io.path("triples_raw"),
+             self.io.path("entity_map"),
+             self.io.path("cc_vertices"),
+             self.in_path("alias_dict")])
 
 
 def main(argv=None) -> dict:
@@ -308,6 +336,10 @@ def main(argv=None) -> dict:
     ap.add_argument("--stop-after", default=None,
                     help="simulate failure after this stage (resume test)")
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--max-partition-mb", type=int, default=16,
+                    help="spark.sql.files.maxPartitionBytes in MB; 16MB "
+                    "keeps scan tasks fine-grained for the UDF-heavy tag "
+                    "stage at bench scale (raise on a real cluster)")
     ap.add_argument("--fuse", action="store_true",
                     help="skip the tagged parquet checkpoint (recompute "
                     "the tagger per downstream output)")
@@ -316,6 +348,8 @@ def main(argv=None) -> dict:
     from kgx.spark.session import get_spark
 
     spark = get_spark("kgx-run", cores=args.cores)
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+                   str(args.max_partition_mb * 1024 * 1024))
     only = None if args.stages == "all" else args.stages.split(",")
     t0 = time.time()
     runner = Runner(spark, args.input, args.out, args.run_id,

@@ -90,6 +90,13 @@ def tag(turns: DataFrame, tagger_udf) -> DataFrame:
     )
 
 
+def tag_spans(turns: DataFrame, tag_spans_udf) -> DataFrame:
+    """Single-pass variant: spans straight from text (no tags column,
+    one Arrow crossing). Same semantics as tag() + drop('tags'),
+    asserted in tests."""
+    return turns.withColumn("spans", tag_spans_udf("text"))
+
+
 def mentions_of(tagged: DataFrame) -> DataFrame:
     m = tagged.select(
         "conv_id",
@@ -212,29 +219,19 @@ def dict_latest(alias_dict: DataFrame) -> DataFrame:
     )
 
 
-def link(mentions: DataFrame, dict_df: DataFrame):
-    """A.7: exact broadcast link + MinHash-LSH fuzzy candidates.
-
-    Returns (links, nodes, lsh_edges).
-    """
-    ment = mentions.withColumn("norm", normalize_surface("surface"))
-    dic = dict_df.select(
+def _dict_cols(dict_df: DataFrame) -> DataFrame:
+    return dict_df.select(
         F.col("etype").alias("d_etype"),
         F.col("alias").alias("d_alias"),
         F.col("entity_id").alias("d_entity_id"),
         F.col("canonical_name").alias("d_canonical"),
     )
-    exact = ment.join(
-        F.broadcast(dic),
-        (ment.etype == dic.d_etype) & (ment.norm == dic.d_alias),
-        "left",
-    ).withColumn(
-        "node_id",
-        F.coalesce(F.col("d_entity_id"),
-                   prov_id_col(F.col("etype"), F.col("norm"))),
-    )
 
-    # node rows: dict entries ∪ provisional (distinct unlinked norms)
+
+def link_nodes(mentions: DataFrame, dict_df: DataFrame) -> DataFrame:
+    """Node rows: dict entries ∪ provisional (distinct unlinked norms)."""
+    ment = mentions.withColumn("norm", normalize_surface("surface"))
+    dic = _dict_cols(dict_df)
     dict_nodes = dic.select(
         F.col("d_entity_id").alias("node_id"),
         F.col("d_etype").alias("etype"),
@@ -258,9 +255,12 @@ def link(mentions: DataFrame, dict_df: DataFrame):
             F.lit(1).alias("is_prov"),
         )
     )
-    nodes = dict_nodes.unionByName(prov_nodes)
+    return dict_nodes.unionByName(prov_nodes)
 
-    # MinHash-LSH blocking over distinct (etype, norm) node rows
+
+def link_lsh_edges(nodes: DataFrame) -> DataFrame:
+    """MinHash-LSH blocking over distinct (etype, norm) node rows,
+    verified by exact bigram Jaccard (A.7)."""
     sig = nodes.select("etype", "norm", "node_id").withColumn(
         "sig", minhash_sig("norm")
     )
@@ -284,7 +284,7 @@ def link(mentions: DataFrame, dict_df: DataFrame):
         )
         .dropDuplicates(["src", "dst", "norm_a", "norm_b"])
     )
-    lsh_edges = (
+    return (
         cand.withColumn("sim", jaccard_udf("norm_a", "norm_b"))
         .where(F.col("sim") >= F.lit(JACCARD_TAU))
         .where(F.col("src") != F.col("dst"))
@@ -292,15 +292,32 @@ def link(mentions: DataFrame, dict_df: DataFrame):
         .dropDuplicates(["src", "dst"])
     )
 
-    # per-node best verified sim (for links.method/score)
+
+def link_links(mentions: DataFrame, dict_df: DataFrame,
+               lsh_edges: DataFrame) -> DataFrame:
+    """Per-mention link rows (exact broadcast hit, LSH-supported, or
+    provisional). Pass a materialized lsh_edges (read back from its
+    checkpoint) so its self-join is not recomputed."""
+    ment = mentions.withColumn("norm", normalize_surface("surface"))
+    dic = _dict_cols(dict_df)
+    exact = ment.join(
+        F.broadcast(dic),
+        (ment.etype == dic.d_etype) & (ment.norm == dic.d_alias),
+        "left",
+    ).withColumn(
+        "node_id",
+        F.coalesce(F.col("d_entity_id"),
+                   prov_id_col(F.col("etype"), F.col("norm"))),
+    )
     node_sim = (
         lsh_edges.select(F.col("src").alias("nid"), "sim")
         .unionByName(lsh_edges.select(F.col("dst").alias("nid"), "sim"))
         .groupBy("nid")
         .agg(F.max("sim").alias("best_sim"))
     )
-    links = (
-        exact.join(node_sim, exact.node_id == node_sim.nid, "left")
+    return (
+        exact.join(F.broadcast(node_sim), exact.node_id == node_sim.nid,
+                   "left")
         .select(
             "conv_id",
             "turn_idx",
@@ -315,6 +332,19 @@ def link(mentions: DataFrame, dict_df: DataFrame):
             .alias("score"),
         )
     )
+
+
+def link(mentions: DataFrame, dict_df: DataFrame):
+    """A.7: exact broadcast link + MinHash-LSH fuzzy candidates.
+
+    Returns (links, nodes, lsh_edges). In-memory composition for
+    tests/pipeline; the checkpointed runner sequences the three
+    (committing nodes and lsh_edges first and reading them back) so
+    the LSH self-join runs once, not once per dependent output.
+    """
+    nodes = link_nodes(mentions, dict_df)
+    lsh_edges = link_lsh_edges(nodes)
+    links = link_links(mentions, dict_df, lsh_edges)
     return links, nodes, lsh_edges
 
 
@@ -402,9 +432,10 @@ def canonicalize(nodes: DataFrame, labels: DataFrame):
 # --- materialize -------------------------------------------------------------
 
 
-def materialize(triples_raw: DataFrame, dict_df: DataFrame,
-                entity_map: DataFrame, cc_vertices: DataFrame):
-    """Canonical edges + vertices (A.8/A.9)."""
+def materialize_edges(triples_raw: DataFrame, dict_df: DataFrame,
+                      entity_map: DataFrame) -> DataFrame:
+    """Canonical edges (A.8/A.9): triples re-keyed through the
+    mention→canonical map, weight = support count."""
     dic_s = dict_df.select(
         F.col("etype").alias("s_etype"), F.col("alias").alias("s_alias"),
         F.col("entity_id").alias("s_ent"),
@@ -456,12 +487,18 @@ def materialize(triples_raw: DataFrame, dict_df: DataFrame,
             .otherwise(F.col("obj_canon")),
         )
     )
-    edges = keyed.groupBy("subj_id", "pred", "obj_id").agg(
+    return keyed.groupBy("subj_id", "pred", "obj_id").agg(
         F.count("*").alias("weight"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
 
+
+def materialize_vertices(edges: DataFrame, cc_vertices: DataFrame,
+                         triples_raw: DataFrame) -> DataFrame:
+    """Canonical vertices with degrees. Pass a materialized edges
+    (read back from its checkpoint) so the big triples join is not
+    recomputed for the degree aggregate."""
     degree = (
         edges.select(
             F.explode(
@@ -482,9 +519,17 @@ def materialize(triples_raw: DataFrame, dict_df: DataFrame,
             F.array(F.col("canonical_name")).alias("aliases"),
         )
     )
-    vertices = (
+    return (
         cc_vertices.unionByName(tool_vertices)
         .join(degree, "entity_id", "left")
         .withColumn("degree", F.coalesce(F.col("degree"), F.lit(0)))
     )
+
+
+def materialize(triples_raw: DataFrame, dict_df: DataFrame,
+                entity_map: DataFrame, cc_vertices: DataFrame):
+    """Canonical edges + vertices (in-memory composition; the runner
+    sequences the two, reading edges back from its checkpoint)."""
+    edges = materialize_edges(triples_raw, dict_df, entity_map)
+    vertices = materialize_vertices(edges, cc_vertices, triples_raw)
     return edges, vertices

@@ -77,6 +77,39 @@ def make_tagger_udf(spark: SparkSession, artifact: TaggerArtifact):
     return tag_turns
 
 
+def make_tagger_spans_udf(spark: SparkSession, artifact: TaggerArtifact):
+    """text -> entity spans in ONE Python pass (Viterbi + BIO decode
+    inside the same worker call). Tagging and decode as separate UDFs
+    would ship text across the Arrow boundary twice and tags once —
+    measured ~20% of the tag stage at 19.7M turns."""
+    bc = spark.sparkContext.broadcast(
+        {
+            "forms": artifact.forms,
+            "etypes": artifact.etypes,
+            "transitions": artifact.transitions,
+        }
+    )
+
+    @F.pandas_udf(SPAN_TYPE)
+    def tag_spans(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        art = bc.value
+        matcher = LexiconMatcher(
+            TaggerArtifact(art["forms"], art["etypes"], art["transitions"])
+        )
+        a = art["transitions"]
+        for texts in batches:
+            out = []
+            vals = texts.fillna("").tolist()
+            for i in range(0, len(vals), VITERBI_CHUNK):
+                chunk = vals[i : i + VITERBI_CHUNK]
+                ems = [emissions(t, matcher) for t in chunk]
+                for text, path in zip(chunk, viterbi_batch(ems, a)):
+                    out.append(decode_bio([TAGS[j] for j in path], text))
+            yield pd.Series(out)
+
+    return tag_spans
+
+
 @F.pandas_udf(SPAN_TYPE)
 def decode_spans(texts: pd.Series, tags: pd.Series) -> pd.Series:
     """(text, tags) -> array<struct> entity spans (A.4 IOB2 repair)."""

@@ -107,3 +107,48 @@ def test_sha16_spark_twin_matches_python(spark):
     for r in rows:
         assert r["p"] == prov_id(r["etype"], r["norm"])
         assert r["t"] == tool_id(r["norm"])
+
+
+def test_tag_spans_single_pass_equals_two_pass(spark, t1_dir):
+    """stages.tag_spans (one Arrow crossing) must equal stages.tag +
+    drop(tags) (two UDF passes) row for row."""
+    from pyspark.sql import functions as F
+
+    from kgx.spark import stages
+    from kgx.spark.udfs import make_tagger_spans_udf, make_tagger_udf
+    from kgx.tagcore import TaggerArtifact
+
+    art = TaggerArtifact.load(f"{t1_dir}/tagger_v1.npz")
+    turns = stages.ingest_bucketed(
+        spark, f"{t1_dir}/transcripts.parquet", buckets=8)
+    two = stages.tag(turns, make_tagger_udf(spark, art)).drop("tags")
+    one = stages.tag_spans(turns, make_tagger_spans_udf(spark, art))
+    cols = ["conv_id", "turn_idx", F.to_json("spans").alias("spans_json")]
+    a = two.select(*cols)
+    b = one.select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_distribution_invariance_bucket_counts(spark, t1_dir):
+    """SURVEY §7: identical edges/vertices content under different
+    partitionings (buckets=1 vs buckets=8). Deterministic-output
+    contract: no monotonically_increasing_id, sorted arrays,
+    content-derived ids."""
+    from kgx.spark.pipeline import run_fixture_pipeline
+
+    out1 = run_fixture_pipeline(spark, t1_dir, buckets=1)
+    out8 = run_fixture_pipeline(spark, t1_dir, buckets=8)
+    for tbl in ("edges", "vertices"):
+        a, b = out1[tbl], out8[tbl]
+        cols = sorted(a.columns)
+        # aliases is array<string> (sorted by construction) — compare as json
+        from pyspark.sql import functions as F
+
+        sel = [
+            F.to_json(c).alias(c) if dict(a.dtypes)[c].startswith("array")
+            else F.col(c)
+            for c in cols
+        ]
+        aa, bb = a.select(*sel), b.select(*sel)
+        assert aa.exceptAll(bb).count() == 0
+        assert bb.exceptAll(aa).count() == 0, tbl
