@@ -1738,6 +1738,37 @@ def udf_minhash(spark, sf):
     )
 
 
+@op("stream_windowed_counts", None)
+def stream_windowed_counts(spark, sf):
+    """Structured Streaming path (B.9): file-source stream of the
+    fixture transcripts -> single-pass tagging per micro-batch ->
+    watermarked 10-min tumbling-window mention counts, drained with
+    Trigger.AvailableNow. Equality with the batch twin is pytest-gated
+    (tests/test_streaming.py)."""
+    import tempfile
+
+    from kgx.spark import streaming
+    from kgx.spark.udfs import make_tagger_spans_udf
+    from kgx.tagcore import TaggerArtifact
+
+    fix = _fixture_dir()
+    udf = make_tagger_spans_udf(
+        spark, TaggerArtifact.load(os.path.join(fix, "tagger_v1.npz")))
+    with tempfile.TemporaryDirectory(prefix="kgx_stream_") as tmp:
+        # file stream source wants a directory of arriving files
+        src = os.path.join(tmp, "arrivals")
+        os.makedirs(src)
+        os.symlink(os.path.join(fix, "transcripts.parquet"),
+                   os.path.join(src, "part-0.parquet"))
+        turns = streaming.stream_transcripts(spark, src)
+        agg = streaming.windowed_mention_counts(turns, udf)
+        q = streaming.run_available_now(
+            agg, os.path.join(tmp, "ckpt"), "harness_stream_counts",
+            output_mode="complete")
+        q.stop()
+    return spark.table("harness_stream_counts")
+
+
 @op("sink_manifest", None)
 def sink_manifest(spark, sf):
     """Stage manifest sink (resumability contract): write a table via

@@ -1,0 +1,109 @@
+"""Structured Streaming surface (SURVEY.md §2 B.9).
+
+The north rule is batch (checkpoint-resumable spark-submit jobs), but
+the engine also exposes the incremental-ingest path as a real
+Structured Streaming job: new transcript parquet files landing in a
+directory are tagged with the same single-pass Viterbi UDF and rolled
+into watermarked tumbling-window mention counts. The same stage
+functions are reused — DataFrame code is identical for batch and
+streaming in Spark; only source/sink differ.
+
+At production scale this is the "10^12 turns keep arriving" story:
+file (or Iceberg/Kafka) source -> per-microbatch tagging ->
+windowed/stateful aggregation with late-data handling -> append sink,
+with exactly-once bookkeeping from the streaming checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kgx.spark import stages
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def stream_transcripts(spark: SparkSession, input_dir: str,
+                       max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source stream of transcript turns (new parquet files are
+    the arrival unit; Iceberg/Kafka sources are drop-ins)."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def stream_mentions(turns: DataFrame, tag_spans_udf) -> DataFrame:
+    """Streaming tag+decode -> exploded mention rows (stateless: the
+    pandas UDF runs per micro-batch exactly as in batch)."""
+    clean = turns.where(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    tagged = stages.tag_spans(clean, tag_spans_udf)
+    return tagged.select(
+        "conv_id", "turn_idx", "ts", F.explode("spans").alias("sp")
+    ).select(
+        "conv_id", "turn_idx", "ts",
+        F.col("sp.begin").alias("begin"),
+        F.col("sp.end").alias("end"),
+        F.col("sp.surface").alias("surface"),
+        F.col("sp.etype").alias("etype"),
+    )
+
+
+def windowed_mention_counts(turns: DataFrame, tag_spans_udf,
+                            window: str = "10 minutes",
+                            watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling-window mention counts per entity type.
+
+    Late turns beyond the watermark are dropped (documented at-most
+    lateness); state for closed windows is reclaimed — this is what
+    bounds memory on an unbounded stream."""
+    clean = turns.where(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    tagged = stages.tag_spans(clean, tag_spans_udf)
+    mentions = tagged.select(
+        "ts", F.explode("spans").alias("sp")
+    ).select("ts", F.col("sp.etype").alias("etype"))
+    return (
+        mentions.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "etype")
+        .agg(F.count("*").alias("n_mentions"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "etype",
+            "n_mentions",
+        )
+    )
+
+
+def run_available_now(query_df: DataFrame, checkpoint_dir: str,
+                      out_table: str, output_mode: str = "append"):
+    """Drain everything currently available (Trigger.AvailableNow) into
+    an in-memory sink; returns the StreamingQuery after completion.
+    The checkpoint dir carries source offsets -> restarting later only
+    processes files that arrived in between (incremental ingest)."""
+    q = (
+        query_df.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -144,6 +144,8 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=1)
     ap.add_argument("--replicate", type=int, default=1,
                     help="clone each conv N times (bigger identical input)")
+    ap.add_argument("--levels", default="8,32",
+                    help="comma-separated core counts for N and 4N")
     args = ap.parse_args()
 
     fixture = os.path.join(REPO, "fixtures", args.tier)
@@ -158,8 +160,10 @@ def main() -> None:
     # buckets fixed across levels: partitioning identical, only the
     # executor-thread count differs (the two-cluster-size analogue)
     buckets = 256
+    lv = [int(x) for x in args.levels.split(",")]
+    assert len(lv) == 2 and lv[1] == 4 * lv[0], "need N,4N"
     levels = {}
-    for cores in (8, 32):
+    for cores in lv:
         best = None
         for _ in range(args.repeat):
             r = run_level(cores, fixture, buckets)
@@ -167,9 +171,9 @@ def main() -> None:
                 best = r
         levels[cores] = best
 
-    h8, h32 = levels[8]["hashes"], levels[32]["hashes"]
+    h8, h32 = levels[lv[0]]["hashes"], levels[lv[1]]["hashes"]
     identical = h8 == h32
-    eff = (levels[8]["wall_s"] / levels[32]["wall_s"]) / 4
+    eff = (levels[lv[0]]["wall_s"] / levels[lv[1]]["wall_s"]) / 4
     out = {
         "metric": "scaling_efficiency_N_vs_4N",
         "value": round(eff, 3),
@@ -189,16 +193,16 @@ def main() -> None:
         "Same job (full checkpointed KG pipeline: ingest → tag → extract",
         "→ link → canon → materialize, incl. per-partition lineage",
         f"metrics) on the identical `{args.tier}` fixture",
-        f"({levels[8]['n_turns']} turns), fresh SparkSession per level,",
+        f"({levels[lv[0]]['n_turns']} turns), fresh SparkSession per level,",
         "shuffle partitions = cores, bucket partitioning fixed at"
         f" {buckets} so only executor-thread count varies.",
         "",
         "| level | cores | wall (s) | turns/sec |",
         "| --- | --- | --- | --- |",
-        f"| N | 8 | {levels[8]['wall_s']} |"
-        f" {levels[8]['turns_per_sec']} |",
-        f"| 4N | 32 | {levels[32]['wall_s']} |"
-        f" {levels[32]['turns_per_sec']} |",
+        f"| N | {lv[0]} | {levels[lv[0]]['wall_s']} |"
+        f" {levels[lv[0]]['turns_per_sec']} |",
+        f"| 4N | {lv[1]} | {levels[lv[1]]['wall_s']} |"
+        f" {levels[lv[1]]['turns_per_sec']} |",
         "",
         f"**Scaling efficiency (T_N / T_4N) / 4 = {eff:.3f}**"
         f" (gate: ≥ 0.8 → {'PASS' if eff >= 0.8 else 'FAIL'})",
@@ -209,7 +213,7 @@ def main() -> None:
         "",
         "Per-table hashes:",
         "",
-        "| table | local[8] | local[32] |",
+        f"| table | local[{lv[0]}] | local[{lv[1]}] |",
         "| --- | --- | --- |",
     ]
     for tbl in sorted(h8):
@@ -219,13 +223,13 @@ def main() -> None:
         "Per-stage walls (seconds, includes parquet write + read-back +",
         "lineage pass):",
         "",
-        "| table | local[8] | local[32] |",
+        f"| table | local[{lv[0]}] | local[{lv[1]}] |",
         "| --- | --- | --- |",
     ]
-    for tbl in levels[8]["stage_walls"]:
+    for tbl in levels[lv[0]]["stage_walls"]:
         md.append(
-            f"| {tbl} | {levels[8]['stage_walls'][tbl]} |"
-            f" {levels[32]['stage_walls'].get(tbl)} |"
+            f"| {tbl} | {levels[lv[0]]['stage_walls'][tbl]} |"
+            f" {levels[lv[1]]['stage_walls'].get(tbl)} |"
         )
     md.append("")
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
