@@ -48,11 +48,20 @@ def _force(df) -> int:
     return df.count()
 
 
+PIPE_REPLICATE = 20  # 20k-conv fixture x20 ≈ 4.4M turns: large enough
+# that the pipeline wall is work-dominated, not per-stage constants
+
+
 def ensure_bench_fixture() -> str:
     if not os.path.exists(os.path.join(BENCH_FIXTURE, "meta.json")):
         from kgx import synth
 
         synth.generate(BENCH_FIXTURE, "bench")
+    if PIPE_REPLICATE > 1:
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        from scaling_bench import replicate_fixture
+
+        return replicate_fixture(BENCH_FIXTURE, PIPE_REPLICATE)
     return BENCH_FIXTURE
 
 

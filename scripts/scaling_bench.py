@@ -107,11 +107,13 @@ def replicate_fixture(base: str, factor: int) -> str:
     marker = os.path.join(out, "meta.json")
     if os.path.exists(marker):
         return out
+    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from kgx.spark.session import get_spark
 
-    spark = get_spark("kgx-replicate", cores=32)
+    existing = SparkSession.getActiveSession()
+    spark = existing or get_spark("kgx-replicate", cores=32)
     t = spark.read.parquet(os.path.join(base, "transcripts.parquet"))
     reps = spark.range(factor).select(
         F.col("id").cast("int").alias("rep"))
@@ -132,7 +134,8 @@ def replicate_fixture(base: str, factor: int) -> str:
             shutil.copytree(src, dst, dirs_exist_ok=True)
         else:
             shutil.copy2(src, dst)
-    spark.stop()
+    if existing is None:
+        spark.stop()
     with open(marker, "w") as f:
         json.dump({"base": base, "factor": factor}, f)
     return out
