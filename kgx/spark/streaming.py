@@ -107,3 +107,68 @@ def run_available_now(query_df: DataFrame, checkpoint_dir: str,
     )
     q.awaitTermination()
     return q
+
+
+def conv_state_tracker(turns: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-conversation running summary (turns seen, chars, roles, last
+    turn_idx/ts) maintained across micro-batches — the building block
+    for streaming conv-level features (e.g. "tag only when a conv goes
+    quiet"). State lives in the streaming state store (RocksDB/HDFS-
+    backed on a cluster), so it survives restarts with the checkpoint.
+
+    Emits one updated summary row per conv per micro-batch it appears
+    in. With timeout_ms > 0, idle convs time out and emit a final row
+    flagged closed=true.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = (
+        "conv_id string, n_turns bigint, n_chars bigint, "
+        "n_tool_turns bigint, max_turn_idx int, closed boolean"
+    )
+    state_schema = (
+        "n_turns bigint, n_chars bigint, n_tool_turns bigint, "
+        "max_turn_idx int"
+    )
+
+    def track(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            n_turns, n_chars, n_tool, max_idx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [[conv_id, n_turns, n_chars, n_tool, max_idx, True]],
+                columns=["conv_id", "n_turns", "n_chars",
+                         "n_tool_turns", "max_turn_idx", "closed"],
+            )
+            return
+        n_turns, n_chars, n_tool, max_idx = (
+            state.get if state.exists else (0, 0, 0, -1)
+        )
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_chars += int(pdf["text"].fillna("").str.len().sum())
+            n_tool += int((pdf["role"] == "tool").sum())
+            max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+        state.update((n_turns, n_chars, n_tool, max_idx))
+        if timeout_ms > 0:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            [[conv_id, n_turns, n_chars, n_tool, max_idx, False]],
+            columns=["conv_id", "n_turns", "n_chars", "n_tool_turns",
+                     "max_turn_idx", "closed"],
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+    return turns.groupBy("conv_id").applyInPandasWithState(
+        track, out_schema, state_schema, "update", timeout
+    )

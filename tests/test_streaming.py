@@ -86,3 +86,61 @@ def test_stream_mentions_schema(stream_env):
     assert m.isStreaming
     assert [f.name for f in m.schema.fields] == [
         "conv_id", "turn_idx", "ts", "begin", "end", "surface", "etype"]
+
+
+def test_conv_state_tracker_accumulates_across_batches(stream_env):
+    """applyInPandasWithState: per-conv state persists across two
+    AvailableNow drains via the streaming checkpoint."""
+    env = stream_env
+    spark = env["spark"]
+
+    def drain(name):
+        turns = streaming.stream_transcripts(env["spark"],
+                                             str(env["src"] / "*"))
+        tracked = streaming.conv_state_tracker(turns)
+        rows = []
+
+        def sink(batch_df, _bid):
+            rows.extend(r.asDict() for r in batch_df.collect())
+
+        q = (
+            tracked.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", env["ckpt"] + "_state")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        return {r["conv_id"]: r for r in rows}
+
+    got1 = drain("cs1")
+    assert got1 and all(not v["closed"] for v in got1.values())
+
+    # arrival of the second half; same conv set may overlap
+    part = F.pmod(F.xxhash64("conv_id"), F.lit(2))
+    env["full"].where(part == 1).coalesce(1).write.parquet(
+        str(env["src"] / "b1s"))
+    got2 = drain("cs2")
+
+    # every conv's final state equals the batch ground truth
+    want = {
+        r["conv_id"]: r.asDict()
+        for r in env["full"].groupBy("conv_id").agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length(F.coalesce("text", F.lit(""))))
+            .alias("n_chars"),
+            F.sum((F.col("role") == "tool").cast("bigint"))
+            .alias("n_tool_turns"),
+            F.max("turn_idx").alias("max_turn_idx"),
+        ).collect()
+    }
+    merged = dict(got1)
+    merged.update(got2)  # latest state per conv
+    assert set(merged) == set(want)
+    for cid, w in want.items():
+        g = merged[cid]
+        assert (g["n_turns"], g["n_chars"], g["n_tool_turns"],
+                g["max_turn_idx"]) == (
+            w["n_turns"], w["n_chars"], w["n_tool_turns"],
+            w["max_turn_idx"]), cid
