@@ -1412,6 +1412,52 @@ def ann_cosine_topk(spark, sf):
     )
 
 
+@op(
+    "dedup_embedding_cosine",
+    """
+    WITH d AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 6)
+             AS cos
+    FROM d a JOIN d b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-duplicate pairs — brute-force baseline
+    (value-checked vs DuckDB). The norm is precomputed per vector
+    before the pair join, so the O(n^2) stage does one dot product per
+    pair, all in JVM higher-order functions. Scale path: block by the
+    ann_lsh_bucket hyperplane sketch first, verify within buckets."""
+    e = (
+        t(spark, sf, "embeddings")
+        .withColumn("v", F.col("embedding").cast("array<double>"))
+        .withColumn(
+            "nrm",
+            F.sqrt(F.aggregate("v", F.lit(0.0),
+                               lambda acc, x: acc + x * x)),
+        )
+        .select("vec_id", "v", "nrm")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                 F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                 F.col("nrm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
+        .where(F.col("cos") >= 0.35)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
 @op("ann_lsh_bucket", None)
 def ann_lsh_bucket(spark, sf):
     """Random-hyperplane LSH bucketing (scale path for ANN): 16-bit

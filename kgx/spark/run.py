@@ -134,9 +134,9 @@ class Runner:
 
     def tagger(self):
         if self._tagger is None:
-            from kgx.spark.udfs import make_tagger_spans_udf
+            from kgx.spark.udfs import make_tagger_offsets_udf
 
-            self._tagger = make_tagger_spans_udf(
+            self._tagger = make_tagger_offsets_udf(
                 self.spark, TaggerArtifact.load(self.artifact_path)
             )
         return self._tagger
@@ -249,7 +249,7 @@ class Runner:
 
     def stage_tag(self):
         turns = self.read("turns")
-        tagged = stages.tag_spans(turns, self.tagger())
+        tagged = stages.tag_spans_jvm(turns, self.tagger())
         self._stage("tag", {"tagged": tagged},
                     [self.io.path("turns"), self.artifact_path],
                     partition_by=["bucket"])
@@ -267,7 +267,7 @@ class Runner:
             # so fused mode recomputes the tagger per output instead —
             # only worth it when resume granularity matters less than
             # storage
-            tagged = stages.tag_spans(self.read("turns"), self.tagger())
+            tagged = stages.tag_spans_jvm(self.read("turns"), self.tagger())
             inputs = [self.io.path("turns"), self.artifact_path,
                       self.in_path("patterns")]
         else:

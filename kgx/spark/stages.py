@@ -97,6 +97,19 @@ def tag_spans(turns: DataFrame, tag_spans_udf) -> DataFrame:
     return turns.withColumn("spans", tag_spans_udf("text"))
 
 
+def tag_spans_jvm(turns: DataFrame, tag_offsets_udf) -> DataFrame:
+    """Fastest variant: Python emits only primitive span offsets; the
+    surfaces + span structs are built JVM-side (substring + transform,
+    whole-stage codegen). Identical output to tag_spans (tested)."""
+    from kgx.spark.udfs import SPANS_FROM_OFFSETS
+
+    return (
+        turns.withColumn("off", tag_offsets_udf("text"))
+        .withColumn("spans", F.expr(SPANS_FROM_OFFSETS))
+        .drop("off")
+    )
+
+
 def mentions_of(tagged: DataFrame) -> DataFrame:
     m = tagged.select(
         "conv_id",

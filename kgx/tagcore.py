@@ -159,7 +159,6 @@ def viterbi_batch(
         em[i, : e.shape[0]] = e
     score = em[:, 0, :].copy()  # [n, 7]
     back = np.zeros((n, tmax, NUM_TAGS), dtype=np.int8)
-    frozen = np.zeros(n, dtype=bool)
     for step in range(1, tmax):
         cand = score[:, :, None] + a[None, :, :]  # [n, prev, cur]
         best_prev = cand.argmax(axis=1)  # [n, cur]
@@ -170,15 +169,35 @@ def viterbi_batch(
         frozen = lens <= step
         score = np.where(frozen[:, None], score, new_score)
         back[:, step, :] = best_prev
-    out: list[list[int]] = []
+    # vectorized backtrace: follow each sequence's chain from its own
+    # final position; inactive (shorter) sequences are masked out
     last = score.argmax(axis=1)  # per-seq best final tag (at its own len)
-    for i in range(n):
-        t = int(lens[i])
-        path = [int(last[i])]
-        for step in range(t - 1, 0, -1):
-            path.append(int(back[i, step, path[-1]]))
-        path.reverse()
-        out.append(path)
+    paths = np.zeros((n, tmax), dtype=np.int8)
+    rows = np.arange(n)
+    paths[rows, np.maximum(lens - 1, 0)] = last
+    cur = last.astype(np.int64)
+    for step in range(tmax - 1, 0, -1):
+        active = lens > step
+        prev = back[rows, step, cur]
+        cur = np.where(active, prev, cur)
+        paths[active, step - 1] = prev[active]
+    return [paths[i, : lens[i]].tolist() for i in range(n)]
+
+
+def viterbi_batch_sorted(
+    em_list: list[np.ndarray], a: np.ndarray, chunk: int = 512
+) -> list[list[int]]:
+    """Length-bucketed batched Viterbi: sequences are decoded in
+    length-sorted chunks so the per-chunk padded DP tensor wastes
+    little work (avg len ~43 vs batch max ~120+ on the fixtures:
+    ~2.5x fewer DP cells), then results are restored to input order.
+    Exact same paths as viterbi_batch (tested)."""
+    order = sorted(range(len(em_list)), key=lambda i: em_list[i].shape[0])
+    out: list[list[int]] = [None] * len(em_list)  # type: ignore[list-item]
+    for lo in range(0, len(order), chunk):
+        idx = order[lo : lo + chunk]
+        for i, path in zip(idx, viterbi_batch([em_list[i] for i in idx], a)):
+            out[i] = path
     return out
 
 

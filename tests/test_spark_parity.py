@@ -152,3 +152,26 @@ def test_distribution_invariance_bucket_counts(spark, t1_dir):
         aa, bb = a.select(*sel), b.select(*sel)
         assert aa.exceptAll(bb).count() == 0
         assert bb.exceptAll(aa).count() == 0, tbl
+
+
+def test_tag_spans_jvm_equals_python_spans(spark, t1_dir):
+    """JVM-assembled spans (offsets UDF + substring/transform) must be
+    identical to the Python-assembled spans."""
+    from pyspark.sql import functions as F
+
+    from kgx.spark import stages
+    from kgx.spark.udfs import (
+        make_tagger_offsets_udf,
+        make_tagger_spans_udf,
+    )
+    from kgx.tagcore import TaggerArtifact
+
+    art = TaggerArtifact.load(f"{t1_dir}/tagger_v1.npz")
+    turns = stages.ingest_bucketed(
+        spark, f"{t1_dir}/transcripts.parquet", buckets=8)
+    py = stages.tag_spans(turns, make_tagger_spans_udf(spark, art))
+    jvm = stages.tag_spans_jvm(turns, make_tagger_offsets_udf(spark, art))
+    cols = ["conv_id", "turn_idx", F.to_json("spans").alias("sj")]
+    a, b = py.select(*cols), jvm.select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert py.schema["spans"] == jvm.schema["spans"]
