@@ -1458,6 +1458,81 @@ def dedup_embedding_cosine(spark, sf):
     )
 
 
+@op("ann_ivf_topk", None)
+def ann_ivf_topk(spark, sf):
+    """IVF (inverted-file) ANN — the scale path for similarity search:
+    deterministic coarse centroids (k-means on a seeded driver-side
+    sample, k=8, 5 Lloyd iterations), every vector assigned to its
+    nearest centroid JVM-side, then the query searches only the
+    nprobe=2 closest cells. Recall vs brute force is pytest-gated
+    (tests/test_ann.py); centroids are data-derived so the op itself
+    is rows-only."""
+    import numpy as np
+
+    e = t(spark, sf, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    # driver-side seeded sample -> Lloyd; sample is tiny (<=512 rows)
+    sample = np.array(
+        [r["v"] for r in e.select("v").limit(512).collect()],
+        dtype=np.float64,
+    )
+    k, rng = 8, np.random.RandomState(42)
+    cents = sample[rng.choice(len(sample), k, replace=False)]
+    for _ in range(5):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for j in range(k):
+            pts = sample[assign == j]
+            if len(pts):
+                cents[j] = pts.mean(0)
+
+    cent_rows = [(int(j), [float(x) for x in cents[j]]) for j in range(k)]
+    cdf = spark.createDataFrame(cent_rows, "cell int, c array<double>")
+
+    def dist2(vcol, ccol):
+        return F.aggregate(
+            F.zip_with(vcol, ccol, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # assign each vector to its nearest cell (broadcast centroids)
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    assigned = (
+        e.crossJoin(F.broadcast(cdf))
+        .withColumn("d2", dist2(F.col("v"), F.col("c")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "cell")
+    )
+    # query = vec 0; probe its nprobe=2 nearest cells
+    qv = assigned.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"))
+    probe = (
+        cdf.crossJoin(F.broadcast(qv))
+        .withColumn("d2", dist2(F.col("c"), F.col("qv")))
+        .orderBy("d2", "cell")
+        .limit(2)
+        .select("cell")
+    )
+    cand = assigned.join(F.broadcast(probe), "cell")
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        cand.crossJoin(F.broadcast(qv))
+        .withColumn("cos", dot / (nrm("v") * nrm("qv")))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+        .select("vec_id", "cell", F.round("cos", 6).alias("cos"))
+    )
+
+
 @op("ann_lsh_bucket", None)
 def ann_lsh_bucket(spark, sf):
     """Random-hyperplane LSH bucketing (scale path for ANN): 16-bit
@@ -1813,6 +1888,68 @@ def stream_windowed_counts(spark, sf):
             output_mode="complete")
         q.stop()
     return spark.table("harness_stream_counts")
+
+
+@op("mm_frame_sample", None)
+def mm_frame_sample(spark, sf):
+    """Multimodal video plumbing: binary payload + typed metadata
+    struct -> uniform frame sampling via mapInPandas, one output row
+    per sampled frame (doc_id, frame_idx, frame_bytes, width, height).
+    The DECODER IS A STUB (no ffmpeg/PIL in this container): frames are
+    deterministic byte slices + blake2b-derived dims, clearly marked.
+    The Spark side — binary columns, metadata struct, Arrow batching,
+    per-frame explode shape, partitioning — is real and is what a real
+    decoder would plug into."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("video/fake").alias("mime"),
+            F.col("n_chars").cast("int").alias("duration_ms"),
+            F.lit(8).alias("fps"),
+        ).alias("meta"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_bytes", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    n_frames = 4
+
+    def sample(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not raw:
+                    continue
+                # STUB decode: slice the payload into n_frames chunks
+                step = max(1, len(raw) // n_frames)
+                for i in range(n_frames):
+                    chunk = raw[i * step : (i + 1) * step]
+                    if not chunk:
+                        break
+                    h = hashlib.blake2b(chunk, digest_size=4).digest()
+                    rows.append(
+                        (int(doc_id), i, chunk,
+                         64 + h[0] % 192, 64 + h[1] % 192)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_bytes",
+                               "width", "height"]
+            )
+
+    return d.select("doc_id", "payload").mapInPandas(sample, schema)
 
 
 @op("sink_manifest", None)
