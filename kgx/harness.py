@@ -1952,6 +1952,58 @@ def mm_frame_sample(spark, sf):
     return d.select("doc_id", "payload").mapInPandas(sample, schema)
 
 
+@op(
+    "udtf_surface",
+    "WITH s AS (SELECT doc_id,"
+    "  list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws"
+    "  FROM documents)"
+    " SELECT doc_id, CAST(t.i - 1 AS INT) AS word_idx,"
+    "  ws[CAST(t.i AS INT)] AS word"
+    " FROM s, LATERAL unnest(range(1, length(ws) + 1)) AS t(i)",
+)
+def udtf_surface(spark, sf):
+    """Spark 4 Python UDTF (table function): text -> one row per word
+    with its index. We prefer explode() for production paths (JVM-
+    side), but the UDTF surface itself is exercised and value-checked
+    here."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, word_idx int, word string")
+    class SplitWords:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            i = 0
+            for w in text.split(" "):
+                if w:
+                    yield doc_id, i, w
+                    i += 1
+
+    spark.udtf.register("kgx_split_words", SplitWords)
+    t(spark, sf, "documents").createOrReplaceTempView("docs_udtf_src")
+    return spark.sql(
+        "SELECT s.* FROM docs_udtf_src,"
+        " LATERAL kgx_split_words(doc_id, text) s"
+    )
+
+
+@op("graph_triangle_free_check", None)
+def graph_triangle_free_check(spark, sf):
+    """Triangle count on the fixture LSH-similarity graph via two
+    self-joins (a<b<c canonical ordering). The alias graph should be
+    near-triangle-free (similarity edges are sparse); returns one row
+    with the count either way."""
+    lsh = _pipeline(spark)["lsh_edges"]
+    und = lsh.select("src", "dst").unionByName(
+        lsh.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).where(F.col("src") < F.col("dst")).distinct()
+    ab = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = und.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = und.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    return tri.agg(F.count("*").cast("bigint").alias("n_triangles"))
+
+
 @op("sink_manifest", None)
 def sink_manifest(spark, sf):
     """Stage manifest sink (resumability contract): write a table via
