@@ -104,3 +104,27 @@ def test_manifest_commit_marker(spark, t1_dir, tmp_path):
     assert not r2.events[0].get("skipped")
     assert glob.glob(os.path.join(wh, "turns", "**", "*.parquet"),
                      recursive=True)
+
+
+def test_snapshot_versioning_time_travel(spark, t1_dir, tmp_path):
+    """Iceberg-lite snapshots: each write is an immutable version; read
+    time-travels; expiry keeps the newest KEEP_SNAPSHOTS data dirs."""
+    from kgx.spark.io import TableIO
+
+    io = TableIO(str(tmp_path / "wh"))
+    df1 = spark.range(5).selectExpr("id", "id * 2 AS v")
+    df2 = spark.range(9).selectExpr("id", "id * 3 AS v")
+    m1 = io.write(df1, "t", extra={"run_id": "r1"})
+    m2 = io.write(df2, "t", extra={"run_id": "r2"})
+    assert (m1["version"], m2["version"]) == (1, 2)
+    assert io.read(spark, "t").count() == 9
+    assert io.read(spark, "t", version=1).count() == 5
+    assert [s["rows"] for s in io.manifest("t")["snapshots"]] == [5, 9]
+
+    df3 = spark.range(2).selectExpr("id", "id AS v")
+    io.write(df3, "t", extra={"run_id": "r3"})
+    assert io.read(spark, "t").count() == 2
+    assert io.read(spark, "t", version=2).count() == 9  # kept
+    assert not os.path.exists(io.path("t", version=1))  # expired
+    # history survives expiry
+    assert len(io.manifest("t")["snapshots"]) == 3
