@@ -417,15 +417,36 @@ def connected_components(nodes: DataFrame, lsh_edges: DataFrame) -> DataFrame:
     raise RuntimeError(f"CC did not converge in {CC_MAX_ITERS} iterations")
 
 
+SALT_K = 16
+
+
 def canonicalize(nodes: DataFrame, labels: DataFrame):
-    """A.8: per-component canonical node + entity_map + cc vertices."""
-    member = nodes.join(labels, "node_id")
-    canon = member.groupBy("label").agg(
+    """A.8: per-component canonical node + entity_map + cc vertices.
+
+    The alias list is a two-phase SALTED aggregation (north star:
+    "salted aggregation for high-degree nodes"): collect_set is
+    holistic — a hot component (an entity with a huge alias set) would
+    funnel every row to one reducer. Phase 1 collects per (label,
+    salt); phase 2 merges the <=SALT_K partial sets per label. min()
+    over structs is algebraic, so the canonical-node pick composes
+    across phases unchanged. Equality with the unsalted form is
+    covered by the oracle-parity and distribution-invariance tests."""
+    member = nodes.join(labels, "node_id").withColumn(
+        "salt", F.pmod(F.xxhash64("node_id"), F.lit(SALT_K))
+    )
+    partial = member.groupBy("label", "salt").agg(
         F.min(
             F.struct("is_prov", "etype", "norm", "node_id", "display")
         ).alias("c"),
-        F.sort_array(F.collect_set("norm")).alias("aliases"),
+        F.collect_set("norm").alias("al"),
     )
+    canon = partial.groupBy("label").agg(
+        F.min("c").alias("c"),
+        F.sort_array(
+            F.array_distinct(F.flatten(F.collect_list("al")))
+        ).alias("aliases"),
+    )
+    member = member.drop("salt")
     entity_map = (
         member.select("node_id", "label")
         .distinct()
