@@ -232,6 +232,10 @@ class Runner:
     def run(self, upto: str | None = None, only=None) -> list[dict]:
         default = STAGES_FUSED if self.fuse else STAGES
         wanted = list(default if not only else only)
+        unknown = [s for s in wanted if s not in STAGES]
+        if unknown:
+            raise SystemExit(
+                f"unknown stage(s) {unknown}; valid: {', '.join(STAGES)}")
         try:
             for stage in wanted:
                 getattr(self, f"stage_{stage}")()

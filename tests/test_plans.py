@@ -120,3 +120,20 @@ def test_aqe_and_skew_configs_on(spark):
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert spark.conf.get(
         "spark.sql.execution.arrow.pyspark.enabled") == "true"
+
+
+def test_bucket_partition_pruning(spark, t1_dir, tmp_path):
+    """Selective reprocessing: a bucket predicate on the warehouse
+    turns table must prune to that bucket's directory (partition
+    filter, not a full scan)."""
+    from kgx.spark.run import Runner
+
+    r = Runner(spark, t1_dir, str(tmp_path / "wh"), "p", buckets=8)
+    r.stage_ingest()
+    df = r.read("turns").where(F.col("bucket") == 3)
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters", 1)[1][:120], plan
+    full = r.read("turns").count()
+    part = df.count()
+    assert 0 < part < full
