@@ -45,7 +45,6 @@ from kgx.spark.io import TableIO, fingerprint_paths
 from kgx.tagcore import TaggerArtifact
 
 STAGES = ("ingest", "tag", "extract", "link", "canon", "materialize")
-STAGES_FUSED = ("ingest", "extract", "link", "canon", "materialize")
 
 METRICS_SCHEMA = (
     "run_id string, stage string, table string, partition_id int, "
@@ -109,22 +108,21 @@ def content_sig_col(df: DataFrame):
 
 
 class Runner:
-    """fuse=False (default) materializes the `tagged` intermediate as a
-    stage checkpoint — measured faster than either caching it (the
-    in-memory columnar build of the spans structs costs ~2.5x the
-    parquet write) or recomputing the tagger per downstream output,
-    and it gives finer resume granularity. fuse=True skips that
-    checkpoint and recomputes the tagger for each of the two extract
-    outputs (lower storage footprint)."""
+    """The tag stage writes the FUSED checkpoint (spans + precomputed
+    candidate relations, no text — SURVEY §4 "tag+extract in one
+    partition-local pass"): relation matching runs JVM-side in the same
+    job as the tagger UDF, and dropping `text` roughly halves the
+    pipeline's biggest write. (Alternatives measured and rejected:
+    caching the spans DataFrame costs ~2.5x the parquet write;
+    recomputing the tagger per downstream output doubles UDF work.)"""
 
     def __init__(self, spark: SparkSession, input_dir: str, out: str,
-                 run_id: str, buckets: int = 32, fuse: bool = False):
+                 run_id: str, buckets: int = 32):
         self.spark = spark
         self.input_dir = input_dir
         self.io = TableIO(out)
         self.run_id = run_id
         self.buckets = buckets
-        self.fuse = fuse
         self.artifact_path = os.path.join(input_dir, "tagger_v1.npz")
         self._tagger = None
         self.events: list[dict] = []
@@ -230,8 +228,7 @@ class Runner:
     # -- stages --------------------------------------------------------
 
     def run(self, upto: str | None = None, only=None) -> list[dict]:
-        default = STAGES_FUSED if self.fuse else STAGES
-        wanted = list(default if not only else only)
+        wanted = list(STAGES if not only else only)
         unknown = [s for s in wanted if s not in STAGES]
         if unknown:
             raise SystemExit(
@@ -251,40 +248,29 @@ class Runner:
         self._stage("ingest", {"turns": turns},
                     [self.in_path("transcripts")], partition_by=["bucket"])
 
-    def stage_tag(self):
-        turns = self.read("turns")
-        tagged = stages.tag_spans_jvm(turns, self.tagger())
-        self._stage("tag", {"tagged": tagged},
-                    [self.io.path("turns"), self.artifact_path],
-                    partition_by=["bucket"])
-
-    def stage_extract(self):
-        patterns_rows = [
+    def patterns_rows(self) -> list[dict]:
+        return [
             r.asDict()
             for r in self.spark.read.parquet(
                 self.in_path("patterns")).collect()
         ]
-        if self.fuse:
-            # tag+extract without the tagged checkpoint. Measured note:
-            # caching tagged (persist) costs ~2.5x the parquet write it
-            # replaces (in-memory columnar build of the spans structs),
-            # so fused mode recomputes the tagger per output instead —
-            # only worth it when resume granularity matters less than
-            # storage
-            tagged = stages.tag_spans_jvm(self.read("turns"), self.tagger())
-            inputs = [self.io.path("turns"), self.artifact_path,
-                      self.in_path("patterns")]
-        else:
-            tagged = self.read("tagged")
-            inputs = [self.io.path("tagged"), self.in_path("patterns")]
-        triples = stages.extract(tagged, patterns_rows)
+
+    def stage_tag(self):
+        turns = self.read("turns")
+        tagged = stages.tag_extract(turns, self.tagger(),
+                                    self.patterns_rows())
+        self._stage("tag", {"tagged": tagged},
+                    [self.io.path("turns"), self.artifact_path,
+                     self.in_path("patterns")],
+                    partition_by=["bucket"])
+
+    def stage_extract(self):
+        tagged = self.read("tagged")
+        triples = stages.triples_from_tagged(tagged)
         mentions = stages.mentions_of(tagged)
-        try:
-            self._stage("extract",
-                        {"triples_raw": triples, "mentions": mentions},
-                        inputs)
-        finally:
-            pass
+        self._stage("extract",
+                    {"triples_raw": triples, "mentions": mentions},
+                    [self.io.path("tagged")])
 
     def stage_link(self):
         mentions = self.read("mentions")
@@ -344,9 +330,6 @@ def main(argv=None) -> dict:
                     help="spark.sql.files.maxPartitionBytes in MB; 16MB "
                     "keeps scan tasks fine-grained for the UDF-heavy tag "
                     "stage at bench scale (raise on a real cluster)")
-    ap.add_argument("--fuse", action="store_true",
-                    help="skip the tagged parquet checkpoint (recompute "
-                    "the tagger per downstream output)")
     args = ap.parse_args(argv)
 
     from kgx.spark.session import get_spark
@@ -357,7 +340,7 @@ def main(argv=None) -> dict:
     only = None if args.stages == "all" else args.stages.split(",")
     t0 = time.time()
     runner = Runner(spark, args.input, args.out, args.run_id,
-                    buckets=args.buckets, fuse=args.fuse)
+                    buckets=args.buckets)
     events = runner.run(upto=args.stop_after, only=only)
     report = {
         "run_id": args.run_id,

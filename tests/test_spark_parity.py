@@ -175,3 +175,36 @@ def test_tag_spans_jvm_equals_python_spans(spark, t1_dir):
     a, b = py.select(*cols), jvm.select(*cols)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert py.schema["spans"] == jvm.schema["spans"]
+
+
+def test_fused_tag_extract_equals_classic(spark, t1_dir):
+    """The fused checkpoint (spans + precomputed rel, no text) must
+    yield exactly the triples_raw of the classic two-stage path."""
+    from pyspark.sql import functions as F
+
+    from kgx.spark import stages
+    from kgx.spark.udfs import make_tagger_offsets_udf, make_tagger_udf
+    from kgx.tagcore import TaggerArtifact
+
+    art = TaggerArtifact.load(f"{t1_dir}/tagger_v1.npz")
+    patterns = [r.asDict() for r in
+                spark.read.parquet(f"{t1_dir}/patterns.parquet").collect()]
+    turns = stages.ingest_bucketed(
+        spark, f"{t1_dir}/transcripts.parquet", buckets=8)
+
+    classic = stages.extract(
+        stages.tag(turns, make_tagger_udf(spark, art)), patterns)
+    fused_ck = stages.tag_extract(
+        turns, make_tagger_offsets_udf(spark, art), patterns)
+    assert "text" not in fused_ck.columns
+    fused = stages.triples_from_tagged(fused_ck)
+
+    assert sorted(classic.columns) == sorted(fused.columns)
+    a = classic.select(*sorted(classic.columns))
+    b = fused.select(*sorted(classic.columns))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # mentions path unchanged on the fused checkpoint
+    m = stages.mentions_of(fused_ck)
+    m2 = stages.mentions_of(stages.tag(turns, make_tagger_udf(spark, art)))
+    assert m.exceptAll(m2).count() == 0 and m2.exceptAll(m).count() == 0
+    del F
