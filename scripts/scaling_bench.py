@@ -187,8 +187,16 @@ def main() -> None:
         "tier": args.tier,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    # pair-specific record always; the canonical scaling.json and the
+    # curated BASELINE.md only for the primary (2,8) pair so a
+    # secondary-pair run cannot clobber the headline report
+    with open(os.path.join(REPO, "BENCH",
+                           f"scaling_{lv[0]}v{lv[1]}.json"), "w") as f:
         json.dump(out, f, indent=2)
+    primary = lv == [2, 8]
+    if primary:
+        with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+            json.dump(out, f, indent=2)
 
     md = [
         "# BENCH — throughput & two-cluster-size scaling evidence",
@@ -235,8 +243,10 @@ def main() -> None:
             f" {levels[lv[1]]['stage_walls'].get(tbl)} |"
         )
     md.append("")
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write("\n".join(md))
+    if primary:
+        with open(os.path.join(REPO, "BENCH", "BASELINE.generated.md"),
+                  "w") as f:
+            f.write("\n".join(md))
     print(json.dumps(out))
 
 
