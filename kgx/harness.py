@@ -42,6 +42,11 @@ def op(name: str, sql: str | None):
 
 
 def t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    # the driver's session config is not ours: pin the tz so
+    # date_trunc/window bucketing of the naive parquet timestamps
+    # matches the DuckDB oracle regardless of host timezone
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
 
 
