@@ -461,12 +461,16 @@ def link(mentions: DataFrame, dict_df: DataFrame):
 
 
 def connected_components(nodes: DataFrame, lsh_edges: DataFrame) -> DataFrame:
-    """Min-label propagation over iterative DataFrame joins.
+    """Min-label propagation + pointer doubling over iterative
+    DataFrame joins; localCheckpoint each iteration cuts the lineage
+    (SURVEY §4). Returns (node_id, label).
 
-    label(v) <- min(label(v), min_{u~v} label(u)) until fixpoint;
-    localCheckpoint each iteration cuts the lineage (SURVEY §4).
-    Returns (node_id, label).
-    """
+    Each round does (a) neighbor-min — label(v) <- min over v's
+    neighborhood — and (b) a pointer jump — label(v) <-
+    label(label(v)) — so convergence is O(log diameter), not
+    O(diameter): a 10^5-hop alias chain converges in ~17 rounds where
+    plain propagation would need 10^5. Labels are always existing
+    node ids (min over ids), so the jump lookup always hits."""
     labels = (
         nodes.select("node_id")
         .distinct()
@@ -490,13 +494,25 @@ def connected_components(nodes: DataFrame, lsh_edges: DataFrame) -> DataFrame:
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(nbr, labels.node_id == nbr.dst, "left").select(
+            "node_id",
+            F.least(
+                F.col("label"),
+                F.coalesce(F.col("nbr_label"), F.col("label")),
+            ).alias("label"),
+        )
+        # pointer doubling: follow the label one hop
+        lookup = stepped.select(
+            F.col("node_id").alias("l_node"),
+            F.col("label").alias("l_label"),
+        )
         new_labels = (
-            labels.join(nbr, labels.node_id == nbr.dst, "left")
+            stepped.join(lookup, stepped.label == lookup.l_node, "left")
             .select(
                 "node_id",
                 F.least(
                     F.col("label"),
-                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                    F.coalesce(F.col("l_label"), F.col("label")),
                 ).alias("label"),
             )
             .localCheckpoint()

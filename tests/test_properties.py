@@ -136,3 +136,21 @@ def test_connected_components_matches_networkx(spark, pairs):
         want = min(comp)  # min-label propagation -> lexicographic min
         for n in comp:
             assert labels[n] == want, (n, comp)
+
+
+def test_cc_long_chain_converges_logarithmically(spark):
+    """Pointer doubling: a 120-node path graph (diameter 119) must
+    converge well inside CC_MAX_ITERS=25 (plain neighbor-min would
+    need ~119 rounds) and label every node with the chain's minimum."""
+    from pyspark.sql import functions as F
+
+    from kgx.spark.stages import connected_components
+
+    n = 120
+    nodes = spark.createDataFrame(
+        [(f"n{i:03d}",) for i in range(n)], "node_id string")
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n - 1)],
+        "src string, dst string").withColumn("sim", F.lit(1.0))
+    labels = connected_components(nodes, edges).collect()
+    assert all(r["label"] == "n000" for r in labels)
