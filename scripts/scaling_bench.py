@@ -9,7 +9,8 @@ cores. Outputs are asserted identical via the partitioning-invariant
 per-table content hashes from the lineage metrics. Efficiency =
 (T_N / T_4N) / 4.
 
-Writes BENCH/BASELINE.md + BENCH/scaling.json; prints one JSON line.
+Writes BENCH/scaling_{N}v{4N}.json (+ canonical scaling.json and a
+generated report for the primary 2,8 pair); prints one JSON line.
 
 Usage: python scripts/scaling_bench.py [--tier bench] [--repeat 1]
 """
