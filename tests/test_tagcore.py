@@ -145,3 +145,15 @@ def test_viterbi_batch_sorted_matches_batch():
     ems = [rng.randn(rng.randint(0, 40), 7).astype(np.float32) * 5
            for _ in range(300)]
     assert viterbi_batch_sorted(ems, a, chunk=32) == viterbi_batch(ems, a)
+
+
+def test_demo_one_ep3_shape():
+    """EP3 demo contract: sentence -> PER/LOC/ORG surface lists from
+    the same frozen artifact the pipeline ships."""
+    from kgx.demo import demo_one
+
+    out = demo_one("Ana Okonkwo visited Fort Kandford with Davor Park .")
+    assert set(out) == {"PER", "LOC", "ORG"}
+    assert out["PER"] == ["Ana Okonkwo", "Davor Park"]
+    assert out["LOC"] == ["Fort Kandford"]
+    assert demo_one("") == {"PER": [], "LOC": [], "ORG": []}
