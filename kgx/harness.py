@@ -688,6 +688,45 @@ def win_ntile(spark, sf):
 
 
 @op(
+    "win_session_window",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM o
+    )
+    SELECT user_id, min(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, grp
+    """,
+)
+def win_session_window(spark, sf):
+    """Batch session windows (B.9): per-user sessions with a 30-minute
+    inactivity gap via session_window(); value-checked against the
+    classic gaps-and-islands SQL formulation in DuckDB."""
+    return (
+        t(spark, sf, "events")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@op(
     "win_first_last",
     "SELECT DISTINCT o_custkey,"
     " first_value(o_orderkey) OVER w AS first_order,"
