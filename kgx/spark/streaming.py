@@ -172,3 +172,14 @@ def conv_state_tracker(turns: DataFrame, timeout_ms: int = 0) -> DataFrame:
     return turns.groupBy("conv_id").applyInPandasWithState(
         track, out_schema, state_schema, "update", timeout
     )
+
+
+def dedup_turns_stream(turns: DataFrame,
+                       watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedupe (B.9): at-least-once sources can
+    redeliver a turn; dropDuplicatesWithinWatermark keys on
+    (conv_id, turn_idx) and reclaims state once the watermark passes —
+    bounded memory on an unbounded stream, unlike dropDuplicates."""
+    return turns.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )

@@ -144,3 +144,32 @@ def test_conv_state_tracker_accumulates_across_batches(stream_env):
                 g["max_turn_idx"]) == (
             w["n_turns"], w["n_chars"], w["n_tool_turns"],
             w["max_turn_idx"]), cid
+
+
+def test_stream_dedupe_within_watermark(stream_env, tmp_path):
+    """Redelivered turns (same conv_id/turn_idx in a later file) must
+    be dropped by dropDuplicatesWithinWatermark."""
+    env = stream_env
+    spark = env["spark"]
+    # redeliver the SAME first batch as a new file
+    first = spark.read.parquet(str(env["src"] / "b0"))
+    first.coalesce(1).write.parquet(str(env["src"] / "b0_redelivered"))
+
+    turns = streaming.stream_transcripts(spark, str(env["src"] / "*"))
+    deduped = streaming.dedup_turns_stream(turns)
+    rows = []
+
+    def sink(batch_df, _bid):
+        rows.extend(
+            (r["conv_id"], r["turn_idx"]) for r in batch_df.collect())
+
+    q = (
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    assert len(rows) == first.count()          # duplicates dropped
+    assert len(set(rows)) == len(rows)         # all unique keys
