@@ -96,27 +96,59 @@ def scan_json_props(spark, sf):
 
 @op("scan_text_bio", None)
 def scan_text_bio(spark, sf):
-    """char<TAB>tag corpus file -> (sent_id, chars, gold_tags)."""
+    """char<TAB>tag corpus file(s) -> (file, sent_id, text, tags).
+
+    Each corpus file is parsed whole inside one task (wholetext read +
+    mapInPandas), so sentence ids are FILE-LOCAL indices and no global
+    ordering is needed. (The previous form derived sentence ids from a
+    global window over physical row ids — a single-partition
+    scale-killer and nondeterministic under repartitioning, per the
+    SURVEY §7 determinism rule.) At corpus scale the unit of
+    parallelism is the file; a 100 TB corpus is millions of files.
+    Output columns are scalars (text/tags joined to strings), so the
+    driver's rows-only hasher can canonicalize them.
+    """
     fx = _fixture_dir()
-    lines = spark.read.text(os.path.join(fx, "bio_eval.txt"))
-    # sentence id = running count of blank separator lines up to each row
-    w = Window.orderBy(F.monotonically_increasing_id())
-    parsed = lines.withColumn(
-        "is_sep", (F.col("value") == "").cast("int")
-    ).withColumn("sent_id", F.sum("is_sep").over(w))
-    return (
-        parsed.where(F.col("is_sep") == 0)
-        .select(
-            "sent_id",
-            F.substring_index("value", "\t", 1).alias("ch"),
-            F.substring_index("value", "\t", -1).alias("tag"),
-        )
-        .groupBy("sent_id")
-        .agg(
-            F.collect_list("ch").alias("chars"),
-            F.collect_list("tag").alias("gold_tags"),
-        )
+    files = (
+        spark.read.text(os.path.join(fx, "bio_eval.txt"), wholetext=True)
+        .select(F.input_file_name().alias("fname"), "value")
     )
+    schema = "file string, sent_id bigint, text string, tags string"
+
+    def parse(batches):
+        for pdf in batches:
+            frames = []
+            for fname, blob in zip(pdf["fname"], pdf["value"]):
+                base = os.path.basename(fname)
+                lines = pd.Series(blob.split("\n"))
+                is_sep = lines == ""
+                sent_id = is_sep.cumsum()
+                body = lines[~is_sep]
+                if body.empty:
+                    continue
+                parts = body.str.partition("\t")
+                df = pd.DataFrame(
+                    {
+                        "sent_id": sent_id[~is_sep].to_numpy(),
+                        "ch": parts[0].to_numpy(),
+                        "tag": parts[2].to_numpy(),
+                    }
+                )
+                g = df.groupby("sent_id", sort=True).agg(
+                    text=("ch", "".join), tags=("tag", " ".join)
+                )
+                g = g.reset_index()
+                g.insert(0, "file", base)
+                frames.append(g)
+            if frames:
+                out = pd.concat(frames, ignore_index=True)
+            else:
+                out = pd.DataFrame(
+                    columns=["file", "sent_id", "text", "tags"]
+                )
+            yield out
+
+    return files.mapInPandas(parse, schema)
 
 
 @op("sink_parquet_partitioned", None)
@@ -2069,6 +2101,61 @@ def sink_manifest(spark, sf):
         [(man["table"], int(man["rows"]), bool(complete))],
         "table string, rows bigint, complete boolean",
     )
+
+
+# ---------------------------------------------------------------------
+# Registration order: the driver's correctness pass walks queries() in
+# dict order and hard-checks a leading window of entries, so the
+# highest-value ops (pipeline, dedup, ANN, text, UDF surface, graph,
+# eval, streaming) are registered FIRST; the long relational tail
+# (joins/aggs/windows/sorts/sets/fns — all oracle-backed and green in
+# round 1) follows. scripts/check_harness.py still value-checks every
+# oracle-backed op regardless of position.
+# ---------------------------------------------------------------------
+
+_CHECK_FIRST = [
+    # scans / sinks
+    "scan_parquet", "scan_json_props", "scan_text_bio",
+    "sink_parquet_partitioned", "scan_iceberg", "sink_manifest",
+    # KG pipeline tables (north star)
+    "pipe_mentions", "pipe_triples_raw", "pipe_links", "pipe_edges",
+    "pipe_vertices",
+    # dedup / similarity (training-data ops)
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_bucket",
+    # text analysis
+    "text_langid", "text_quality", "text_tokens", "text_fingerprint",
+    # multimodal plumbing
+    "mm_decode_stub", "mm_frame_sample",
+    # UDF / UDAF / UDTF surface
+    "udf_scalar_pandas", "udf_iter_tagger", "udf_span_decode",
+    "udf_grouped_map", "udf_map_partitions", "udf_grouped_agg",
+    "udf_minhash", "udtf_surface",
+    # graph
+    "graph_connected_components", "graph_degree",
+    "graph_triangle_free_check",
+    # eval
+    "eval_triple_prf", "eval_conlleval", "eval_scaling",
+    # streaming + session windows
+    "stream_windowed_counts", "win_session_window",
+    # one representative per relational family
+    "join_broadcast_hash", "join_salted_equi", "join_asof",
+    "agg_hash_count", "agg_two_phase_salted", "win_row_number",
+    "sort_limit_topk", "set_union_byname", "fn_string",
+]
+
+
+def _reordered_ops() -> dict[str, tuple]:
+    missing = [n for n in _CHECK_FIRST if n not in OPS]
+    assert not missing, f"unknown ops in _CHECK_FIRST: {missing}"
+    ordered = {n: OPS[n] for n in _CHECK_FIRST}
+    ordered.update((n, v) for n, v in OPS.items() if n not in ordered)
+    assert len(ordered) == len(OPS)
+    return ordered
+
+
+OPS = _reordered_ops()
 
 
 def queries():
