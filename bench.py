@@ -44,8 +44,22 @@ QUICK = ["dedup_exact", "win_row_number", "join_sort_merge"]
 
 
 def _force(df) -> int:
-    """Execute the full plan without collecting to the driver."""
-    return df.count()
+    """Execute the FULL plan without collecting rows to the driver.
+
+    A bare count() lets Catalyst prune computed columns that the count
+    doesn't need (e.g. text_quality's derived projections optimize
+    away, timing only scan+filter). Hashing every column of every row
+    JVM-side (F.hash handles nested types) forces all projections to
+    actually evaluate; only (count, folded hash) reach the driver."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.hash(*[F.col(c) for c in df.columns]).cast("bigint")
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"])
 
 
 PIPE_REPLICATE = 20  # 20k-conv fixture x20 ≈ 4.4M turns: large enough

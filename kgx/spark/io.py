@@ -56,12 +56,21 @@ class TableIO:
         inputs_fingerprint: str | None = None,
         extra: dict | None = None,
         rows: int | None = None,
+        defer_manifest: bool = False,
     ) -> dict:
         """Write parquet + manifest; manifest lands last (commit marker).
 
         Row count comes from the caller (e.g. an Observation collected
         during the write job) or, failing that, from the parquet
         footers — never from a second full scan of the data.
+
+        With defer_manifest=True the data is written but the manifest
+        file is NOT: the caller enriches the returned dict (e.g. with
+        Observation-collected rows/content_hash) and commits it via
+        finalize(). This keeps the commit marker a single atomic dump —
+        a crash between two dumps could otherwise leave a `complete`
+        manifest missing content_hash, which a resumed run would skip
+        and downstream consumers would KeyError on.
         """
         prev = self.manifest(table)
         version = (prev["version"] + 1) if prev and "version" in prev else 1
@@ -88,6 +97,13 @@ class TableIO:
             "snapshots": snapshots,
             **(extra or {}),
         }
+        if defer_manifest:
+            return manifest
+        return self.finalize(table, manifest)
+
+    def finalize(self, table: str, manifest: dict) -> dict:
+        """Atomically commit a manifest (single dump) + expire old
+        snapshots — the one place the commit marker is born."""
         with open(self.manifest_path(table), "w") as f:
             json.dump(manifest, f, indent=2)
         self.expire_snapshots(table, keep=self.KEEP_SNAPSHOTS)

@@ -150,22 +150,26 @@ class Runner:
         obs = Observation(f"{self.run_id}:{table}")
         observed = df.observe(obs, F.count(F.lit(1)).alias("rows"),
                               content_sig_col(df))
+        # the manifest (commit marker) is written exactly ONCE, after
+        # the Observation values are in hand — defer_manifest keeps a
+        # crash from leaving a complete-but-hashless manifest behind
         man = self.io.write(
             observed, table, partition_by=partition_by,
             inputs_fingerprint=fingerprint, rows=None,
             extra={"run_id": self.run_id, "stage": stage},
+            defer_manifest=True,
         )
         got = obs.get
         content = format(int(got["sig"] or 0) % (1 << 63), "016x")
         man["rows"] = int(got["rows"])
+        man["snapshots"][-1]["rows"] = man["rows"]
         man["content_hash"] = content
-        with open(self.io.manifest_path(table), "w") as f:
-            json.dump(man, f, indent=2)
+        self.io.finalize(table, man)
 
         # per-output-file lineage counters from parquet footers;
         # buffered and flushed as one write at end of run (each tiny
         # append is otherwise its own Spark job)
-        stats = self.io.file_stats(table)
+        stats = self.io.file_stats(table, man["version"])
         wall_ms = int((time.time() - t0) * 1000)
         self._metrics_rows.extend(
             {"run_id": self.run_id, "stage": stage, "table": table,
