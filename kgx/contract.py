@@ -136,6 +136,48 @@ def jaccard(norm_a: str, norm_b: str) -> float:
     return len(sa & sb) / u if u else 0.0
 
 
+# --- hyperplane LSH for embedding vectors (ANN / embedding dedup) -----------
+# Sign-random-projection sketch over integer-quantized vectors. Planes
+# come from an integer hash (LCG + xorshift rounds, all values < 2^31
+# so products stay < 2^62 — BIGINT/int64-safe in numpy AND DuckDB), and
+# the dot products are computed in INTEGER arithmetic on floor(x*1024)
+# quantized components: order-independent and therefore bit-identical
+# across engines (a float dot's summation order could flip a sign at
+# the boundary). Bands of sign bits are the LSH blocking keys.
+
+HP_PLANES = 32
+HP_BANDS = 4
+HP_BITS = 8  # HP_PLANES == HP_BANDS * HP_BITS
+EMB_DIM = 64
+EMB_QUANT = 1024  # power of two -> floor(x*Q) exact in float64
+COSINE_TAU = 0.35  # verify threshold (matches the r1 brute-force op)
+
+
+def hyperplane_weights(n_planes: int = HP_PLANES,
+                       dim: int = EMB_DIM) -> np.ndarray:
+    """Deterministic integer plane matrix [n_planes, dim], values in
+    [-2^30, 2^30). Exactly reproducible in SQL (see harness)."""
+    k = np.arange(n_planes * dim, dtype=np.int64)
+    h0 = (k * 1103515245 + 12345) % (1 << 31)
+    h1 = ((h0 ^ (h0 >> 15)) * 1103515245 + 54321) % (1 << 31)
+    h2 = h1 ^ (h1 >> 13)
+    return (h2 - (1 << 30)).reshape(n_planes, dim)
+
+
+def hp_band_keys_np(vecs: np.ndarray) -> np.ndarray:
+    """[n, dim] float -> [n, HP_BANDS] int32 band keys (band g key =
+    g*2^HP_BITS + its sign bits; globally unique across bands)."""
+    w = hyperplane_weights()
+    q = np.floor(vecs.astype(np.float64) * EMB_QUANT).astype(np.int64)
+    bits = (q @ w.T > 0).astype(np.int64)  # [n, HP_PLANES]
+    keys = np.empty((vecs.shape[0], HP_BANDS), dtype=np.int64)
+    pows = 1 << np.arange(HP_BITS)
+    for g in range(HP_BANDS):
+        seg = bits[:, g * HP_BITS : (g + 1) * HP_BITS]
+        keys[:, g] = g * (1 << HP_BITS) + seg @ pows
+    return keys.astype(np.int32)
+
+
 # --- word-shingle variant (document-scale dedup) ----------------------------
 # Char bigrams are the right granularity for short entity surfaces but
 # degenerate for documents (tiny bigram universe -> everything looks

@@ -1488,48 +1488,125 @@ def ann_cosine_topk(spark, sf):
     )
 
 
-@op(
-    "dedup_embedding_cosine",
-    """
-    WITH d AS (SELECT vec_id,
-                      list_transform(embedding, x -> CAST(x AS DOUBLE)) v
-               FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 6)
-             AS cos
-    FROM d a JOIN d b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.v, b.v) >= 0.35
-    """,
-)
-def dedup_embedding_cosine(spark, sf):
-    """Embedding-cosine near-duplicate pairs — brute-force baseline
-    (value-checked vs DuckDB). The norm is precomputed per vector
-    before the pair join, so the O(n^2) stage does one dot product per
-    pair, all in JVM higher-order functions. Scale path: block by the
-    ann_lsh_bucket hyperplane sketch first, verify within buckets."""
-    e = (
-        t(spark, sf, "embeddings")
-        .withColumn("v", F.col("embedding").cast("array<double>"))
-        .withColumn(
-            "nrm",
-            F.sqrt(F.aggregate("v", F.lit(0.0),
-                               lambda acc, x: acc + x * x)),
-        )
-        .select("vec_id", "v", "nrm")
+def _emb_lsh_sql() -> str:
+    """DuckDB twin of the hyperplane-LSH-blocked embedding dedup.
+
+    The plane weights and sign bits are integer arithmetic on
+    floor(x*1024)-quantized components (contract.hyperplane_weights /
+    hp_band_keys_np), so the blocking keys are bit-identical across
+    engines — a float dot product's summation order could flip a sign
+    at the boundary and desync the candidate sets."""
+    from kgx.contract import (
+        COSINE_TAU,
+        EMB_DIM,
+        EMB_QUANT,
+        HP_BITS,
+        HP_PLANES,
     )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-                 F.col("nrm").alias("na"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-                 F.col("nrm").alias("nb"))
+
+    return f"""
+    WITH d AS (SELECT vec_id,
+                      list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {EMB_QUANT})
+                                  AS BIGINT)) AS q
+               FROM embeddings),
+    ks AS (SELECT CAST(b.range AS BIGINT) AS b, CAST(j.range AS BIGINT) AS j,
+                  CAST(b.range * {EMB_DIM} + j.range AS BIGINT) AS k
+           FROM range(0, {HP_PLANES}) b, range(0, {EMB_DIM}) j),
+    h0 AS (SELECT b, j, (k * 1103515245 + 12345) % 2147483648 AS h FROM ks),
+    h1 AS (SELECT b, j, (xor(h, h >> 15) * 1103515245 + 54321) % 2147483648
+                        AS h FROM h0),
+    pl AS (SELECT b, j, xor(h, h >> 13) - 1073741824 AS w FROM h1),
+    comps AS (SELECT vec_id, CAST(t.range AS BIGINT) AS j,
+                     q[CAST(t.range AS INT) + 1] AS c
+              FROM d, range(0, {EMB_DIM}) t),
+    dots AS (SELECT c.vec_id AS vec_id, p.b AS b, SUM(c.c * p.w) AS dot
+             FROM comps c JOIN pl p ON p.j = c.j GROUP BY c.vec_id, p.b),
+    bkeys AS (SELECT vec_id, b // {HP_BITS} AS g,
+                     SUM(CASE WHEN dot > 0
+                              THEN CAST(pow(2, b % {HP_BITS}) AS BIGINT)
+                              ELSE 0 END) AS bits
+              FROM dots GROUP BY vec_id, b // {HP_BITS}),
+    bands AS (SELECT vec_id, g * {1 << HP_BITS} + bits AS bk FROM bkeys),
+    sizes AS (SELECT bk, count(*) AS n, min(vec_id) AS mn
+              FROM bands GROUP BY bk),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b ON a.bk = b.bk AND a.vec_id < b.vec_id
+           JOIN sizes s ON s.bk = a.bk
+      WHERE s.n <= {MAX_LSH_BUCKET}
+      UNION ALL
+      SELECT s.mn AS id_a, b.vec_id AS id_b
+      FROM bands b JOIN sizes s ON s.bk = b.bk
+      WHERE s.n > {MAX_LSH_BUCKET} AND b.vec_id > s.mn
+    ),
+    pairs AS (SELECT DISTINCT id_a, id_b FROM cand),
+    v AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)
+    SELECT p.id_a AS id_a, p.id_b AS id_b,
+           round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 6) AS cos
+    FROM pairs p JOIN v a ON a.vec_id = p.id_a
+                 JOIN v b ON b.vec_id = p.id_b
+    WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_TAU}
+    """
+
+
+@op("dedup_embedding_cosine", _emb_lsh_sql())
+def dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-duplicate pairs, hyperplane-LSH-BLOCKED
+    (no all-pairs join anywhere in the plan): 4 bands x 8 sign bits
+    per vector -> equi-join on band key -> exact cosine verify within
+    buckets. Buckets over MAX_LSH_BUCKET are reduced to LINEAR cost by
+    star-linking every member to the bucket's min vec_id instead of
+    emitting the quadratic clique (downstream connected-components
+    merges a star exactly like a clique). The DuckDB oracle replicates
+    the full blocked semantics bit-for-bit (integer sketch), so the
+    value-hash check covers blocking + guard + verify; recall vs the
+    brute-force pair set is separately pytest-gated (tests/test_ann.py).
+    At 100 TB: band width is the knob — widen HP_BITS as n grows so
+    expected bucket size stays bounded; the plan shape is unchanged."""
+    from kgx.contract import COSINE_TAU
+    from kgx.spark.udfs import hp_band_keys
+
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    banded = e.select("vec_id", F.explode(hp_band_keys("v")).alias("bk"))
+    sizes = banded.groupBy("bk").agg(
+        F.count("*").alias("n"), F.min("vec_id").alias("mn")
+    )
+    bs = banded.join(sizes, "bk")
+    small = bs.where(F.col("n") <= MAX_LSH_BUCKET).select("bk", "vec_id")
+    a, b = small.alias("a"), small.alias("b")
+    cand_small = a.join(
+        b,
+        (F.col("a.bk") == F.col("b.bk"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+    )
+    cand_big = bs.where(
+        (F.col("n") > MAX_LSH_BUCKET) & (F.col("vec_id") > F.col("mn"))
+    ).select(F.col("mn").alias("id_a"), F.col("vec_id").alias("id_b"))
+    pairs = cand_small.unionByName(cand_big).dropDuplicates(
+        ["id_a", "id_b"]
+    )
+    va = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
-        .where(F.col("cos") >= 0.35)
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", dot / (nrm("va") * nrm("vb")))
+        .where(F.col("cos") >= COSINE_TAU)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
 
@@ -1611,28 +1688,22 @@ def ann_ivf_topk(spark, sf):
 
 @op("ann_lsh_bucket", None)
 def ann_lsh_bucket(spark, sf):
-    """Random-hyperplane LSH bucketing (scale path for ANN): 16-bit
-    sign sketch per vector; bucket sizes. Hyperplanes are seeded
-    constants — deterministic but engine-specific, rows-only."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    rng = np.random.RandomState(7)
-    planes = rng.randn(16, 64).astype(np.float64)
-
-    @F.pandas_udf(T.IntegerType())
-    def bucket_of(embs: pd.Series) -> pd.Series:
-        out = []
-        for v in embs:
-            x = np.asarray(v, dtype=np.float64)
-            bits = (planes @ x) > 0
-            out.append(int(sum(1 << i for i, b in enumerate(bits) if b)))
-        return pd.Series(out)
+    """Hyperplane-LSH bucketing (the blocking primitive behind
+    dedup_embedding_cosine): the shared integer-sketch band keys
+    (contract.hp_band_keys_np — one numpy matmul per Arrow batch, no
+    per-row Python), bucket histogram per band key. Engine-portable
+    but rows-only here; the full blocked pipeline is value-checked by
+    dedup_embedding_cosine's oracle."""
+    from kgx.spark.udfs import hp_band_keys
 
     return (
         t(spark, sf, "embeddings")
-        .select("vec_id", bucket_of("embedding").alias("bucket"))
+        .select(
+            "vec_id",
+            F.explode(
+                hp_band_keys(F.col("embedding").cast("array<double>"))
+            ).alias("bucket"),
+        )
         .groupBy("bucket")
         .agg(F.count("*").alias("n"),
              F.min("vec_id").alias("min_vec"))

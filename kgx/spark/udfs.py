@@ -234,6 +234,20 @@ def shingle_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+@F.pandas_udf(T.ArrayType(T.IntegerType()))
+def hp_band_keys(embs: pd.Series) -> pd.Series:
+    """Embedding -> HP_BANDS hyperplane-LSH band keys (sign-projection
+    sketch over integer-quantized vectors; contract.hp_band_keys_np).
+    One numpy matmul per Arrow batch — no per-row Python."""
+    from kgx.contract import hp_band_keys_np
+
+    if embs.empty:
+        return pd.Series([], dtype=object)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in embs.tolist()])
+    keys = hp_band_keys_np(mat)
+    return pd.Series([row.tolist() for row in keys])
+
+
 def band_key_cols():
     """SQL expression producing the 16 LSH band-bucket keys from a
     64-element `sig` array column — JVM-side, no Python."""

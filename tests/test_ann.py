@@ -39,6 +39,104 @@ def test_ivf_topk_is_exact_within_probed_cells(spark):
     assert len(probe_cells) <= 2  # nprobe=2
 
 
+def _brute_pairs(vecs: dict, tau: float) -> set:
+    ids = sorted(vecs)
+    out = set()
+    for i, a in enumerate(ids):
+        va = vecs[a]
+        for b in ids[i + 1 :]:
+            vb = vecs[b]
+            cos = float(
+                va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+            )
+            if cos >= tau:
+                out.add((a, b))
+    return out
+
+
+def test_embedding_dedup_blocked_precision_and_plan(spark):
+    """Every emitted pair must be a true >=tau pair (the cosine verify
+    guarantees precision 1.0; LSH blocking only affects recall), and
+    the plan must contain NO all-pairs join — blocking is the point."""
+    import io
+    from contextlib import redirect_stdout
+
+    from kgx.contract import COSINE_TAU
+    from kgx.harness import dedup_embedding_cosine
+
+    df = dedup_embedding_cosine(spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    got = {(r["id_a"], r["id_b"]): r["cos"] for r in df.collect()}
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).collect()
+    vecs = {r["vec_id"]: np.array(r["v"]) for r in rows}
+    truth = _brute_pairs(vecs, COSINE_TAU)
+    assert got, "blocked dedup found no pairs at all"
+    assert set(got) <= truth  # precision 1.0
+    for (a, b), cos in got.items():
+        va, vb = vecs[a], vecs[b]
+        want = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert abs(cos - want) < 1e-5
+
+
+def test_embedding_dedup_recall_on_planted_clusters(spark, tmp_path):
+    """Near-identical duplicates (the actual dedup target) share their
+    whole sketch, so every planted cluster must come out connected —
+    including one larger than MAX_LSH_BUCKET, which exercises the
+    star-link guard (linear, not quadratic, in bucket size)."""
+    from kgx.harness import MAX_LSH_BUCKET, dedup_embedding_cosine
+
+    rng = np.random.RandomState(11)
+    rows = []
+    vid = 0
+    clusters = []
+    # 5 small clusters + 1 oversized (forces the star guard in every
+    # band its bucket lands in)
+    for size in (4, 4, 6, 3, 5, MAX_LSH_BUCKET + 36):
+        base = rng.randn(64)
+        members = []
+        for _ in range(size):
+            rows.append((vid, [float(x) for x in base], 0))
+            members.append(vid)
+            vid += 1
+        clusters.append(members)
+    # noise vectors
+    for _ in range(50):
+        rows.append((vid, [float(x) for x in rng.randn(64)], 1))
+        vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "planted")
+    df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in dedup_embedding_cosine(spark, d).collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    for members in clusters:
+        roots = {find(m) for m in members}
+        assert len(roots) == 1, f"cluster split: {members[:3]}..."
+
+
 def test_brute_force_matches_numpy(spark):
     from kgx.harness import ann_cosine_topk
 
