@@ -1288,6 +1288,40 @@ def dedup_exact(spark, sf):
 MAX_LSH_BUCKET = 64  # self-join guard: a bucket of n costs n^2 pairs
 
 
+def _lsh_candidate_pairs(banded: DataFrame, id_col: str,
+                         bk_col: str = "bk",
+                         cap: int = MAX_LSH_BUCKET) -> DataFrame:
+    """(id, band-key) rows -> deduped candidate pairs (id_a < id_b).
+
+    Buckets up to `cap` members emit the full within-bucket clique via
+    an equi self-join. LARGER buckets (a cluster of thousands of
+    near-identical documents — exactly the heaviest dedup target) are
+    NOT dropped: every member is star-linked to the bucket's min id,
+    which is linear in bucket size and keeps the cluster connected for
+    downstream connected-components, instead of quadratic (or, worse,
+    silently absent)."""
+    sizes = banded.groupBy(bk_col).agg(
+        F.count("*").alias("n"), F.min(id_col).alias("mn")
+    )
+    bs = banded.join(sizes, bk_col)
+    small = bs.where(F.col("n") <= cap).select(bk_col, id_col)
+    a, b = small.alias("a"), small.alias("b")
+    cand_small = a.join(
+        b,
+        (F.col(f"a.{bk_col}") == F.col(f"b.{bk_col}"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    )
+    cand_big = bs.where(
+        (F.col("n") > cap) & (F.col(id_col) > F.col("mn"))
+    ).select(F.col("mn").alias("id_a"), F.col(id_col).alias("id_b"))
+    return cand_small.unionByName(cand_big).dropDuplicates(
+        ["id_a", "id_b"]
+    )
+
+
 @op("dedup_minhash_lsh", None)
 def dedup_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup candidates over documents: 3-word-shingle
@@ -1295,12 +1329,12 @@ def dedup_minhash_lsh(spark, sf):
     universe makes everything 'similar'), 16x4 bands, candidates
     verified by exact shingle Jaccard.
 
-    Scale guard: buckets larger than MAX_LSH_BUCKET are dropped from
-    the self-join (their pair count is quadratic; a hot bucket at
-    100 TB would dominate the stage). Dropped buckets are counted in
-    the plan via the bucket-size aggregate, not silently — a bucket
-    that large means the band adds no discrimination for its members.
-    """
+    Scale design: the candidate self-join carries ONLY (doc_id, band
+    key); document text is re-joined per pair id afterwards, so the
+    pair shuffle never ships full text. Oversized buckets star-link to
+    a representative (see _lsh_candidate_pairs) — a >cap cluster of
+    near-identical docs stays connected at linear cost instead of
+    being silently dropped."""
     from kgx.spark.udfs import (
         band_key_cols,
         shingle_jaccard_udf,
@@ -1311,28 +1345,15 @@ def dedup_minhash_lsh(spark, sf):
         "doc_id", F.lower("text").alias("norm")
     )
     banded = d.withColumn("sig", shingle_minhash_sig("norm")).select(
-        "doc_id", "norm", F.explode(band_key_cols()).alias("bk")
+        "doc_id", F.explode(band_key_cols()).alias("bk")
     )
-    ok_buckets = (
-        banded.groupBy("bk")
-        .agg(F.count("*").alias("n"))
-        .where((F.col("n") > 1) & (F.col("n") <= MAX_LSH_BUCKET))
-        .select("bk")
-    )
-    banded = banded.join(ok_buckets, "bk")
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(b, (F.col("a.bk") == F.col("b.bk"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.norm").alias("na"), F.col("b.norm").alias("nb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = _lsh_candidate_pairs(banded, id_col="doc_id")
+    na = d.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("na"))
+    nb = d.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("nb"))
     return (
-        cand.withColumn("sim", shingle_jaccard_udf("na", "nb"))
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("sim", shingle_jaccard_udf("na", "nb"))
         .where(F.col("sim") >= JACCARD_TAU)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )
@@ -1340,50 +1361,43 @@ def dedup_minhash_lsh(spark, sf):
 
 @op("dedup_simhash", None)
 def dedup_simhash(spark, sf):
-    """64-bit SimHash near-dup: band on top-16 bits, verify hamming<=6
-    via bit_count(xor) — JVM-side after the signature UDF."""
-    import hashlib
-
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    @F.pandas_udf(T.LongType())
-    def simhash64(texts: pd.Series) -> pd.Series:
-        out = []
-        for txt in texts.fillna(""):
-            acc = [0] * 64
-            for tok in set(txt.split()):
-                h = int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(),
-                    "big",
-                )
-                for i in range(64):
-                    acc[i] += 1 if (h >> i) & 1 else -1
-            v = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    v |= 1 << i
-            # to signed int64
-            out.append(v - (1 << 64) if v >= (1 << 63) else v)
-        return pd.Series(out)
+    """64-bit SimHash near-dup with MULTI-BAND probing: the hash is
+    split into 8 bands of 8 bits, so any pair within hamming distance
+    7 shares at least one band exactly (pigeonhole) — single-band
+    blocking cannot guarantee recall for the hamming<=6 predicate this
+    op verifies. Bands are JVM bit ops on the signature; the signature
+    itself is a fully vectorized numpy pipeline (udfs.simhash64_np, no
+    per-token Python). Oversized buckets star-link to a representative
+    (linear, connectivity-preserving). Verify = bit_count(xor) <= 6,
+    JVM-side. Recall vs brute force is pytest-gated (tests/
+    test_dedup.py)."""
+    from kgx.spark.udfs import simhash64
 
     d = t(spark, sf, "documents").select(
         "doc_id", simhash64("text").alias("sh")
-    ).withColumn("band", F.shiftrightunsigned("sh", 48))
-    a, b = d.alias("a"), d.alias("b")
+    )
+    keys = F.array(
+        *[
+            (
+                F.lit(g * 256)
+                + F.shiftrightunsigned("sh", 8 * g).bitwiseAND(F.lit(255))
+            ).cast("int")
+            for g in range(8)
+        ]
+    )
+    banded = d.select("doc_id", F.explode(keys).alias("bk"))
+    pairs = _lsh_candidate_pairs(banded, id_col="doc_id")
+    sa = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
+    sb = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "hamming",
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))),
+            F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))),
         )
         .where(F.col("hamming") <= 6)
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            "hamming",
-        )
+        .select("id_a", "id_b", "hamming")
     )
 
 
@@ -1573,25 +1587,7 @@ def dedup_embedding_cosine(spark, sf):
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     banded = e.select("vec_id", F.explode(hp_band_keys("v")).alias("bk"))
-    sizes = banded.groupBy("bk").agg(
-        F.count("*").alias("n"), F.min("vec_id").alias("mn")
-    )
-    bs = banded.join(sizes, "bk")
-    small = bs.where(F.col("n") <= MAX_LSH_BUCKET).select("bk", "vec_id")
-    a, b = small.alias("a"), small.alias("b")
-    cand_small = a.join(
-        b,
-        (F.col("a.bk") == F.col("b.bk"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
-    )
-    cand_big = bs.where(
-        (F.col("n") > MAX_LSH_BUCKET) & (F.col("vec_id") > F.col("mn"))
-    ).select(F.col("mn").alias("id_a"), F.col("vec_id").alias("id_b"))
-    pairs = cand_small.unionByName(cand_big).dropDuplicates(
-        ["id_a", "id_b"]
-    )
+    pairs = _lsh_candidate_pairs(banded, id_col="vec_id")
     va = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     dot = F.aggregate(
@@ -1773,23 +1769,44 @@ def text_tokens(spark, sf):
 
 @op("text_fingerprint", None)
 def text_fingerprint(spark, sf):
-    """Rolling polynomial fingerprint (Rabin-style) per document —
-    deterministic but not SQL-expressible, rows-only + pytest."""
+    """Rolling polynomial fingerprint (Rabin-style, uint64 wraparound)
+    per document — deterministic but not SQL-expressible, rows-only +
+    pytest. Fully vectorized: documents are length-sorted into chunks,
+    each chunk's codepoints become one [rows x len] uint32 matrix, and
+    the Horner fold runs one numpy op per character POSITION (not per
+    character) across the whole chunk."""
     import pandas as pd
     from pyspark.sql import types as T
 
-    MOD = (1 << 61) - 1
-    BASE = 257
+    BASE = np.uint64(1099511628211)
+    CHUNK = 2048
 
     @F.pandas_udf(T.LongType())
     def fingerprint(texts: pd.Series) -> pd.Series:
-        out = []
-        for txt in texts.fillna(""):
-            h = 0
-            for ch in txt:
-                h = (h * BASE + ord(ch)) % MOD
-            out.append(h)
-        return pd.Series(out)
+        s = texts.fillna("").reset_index(drop=True)
+        n = len(s)
+        out = np.zeros(n, dtype=np.uint64)
+        if n:
+            lens = s.str.len().to_numpy(np.int64)
+            order = np.argsort(lens, kind="stable")
+            for lo in range(0, n, CHUNK):
+                idx = order[lo : lo + CHUNK]
+                clens = lens[idx]
+                tmax = int(clens.max(initial=0))
+                if tmax == 0:
+                    continue
+                arr = s.iloc[idx].to_numpy(dtype=f"U{tmax}")
+                codes = (
+                    arr.view(np.uint32)
+                    .reshape(len(idx), tmax)
+                    .astype(np.uint64)
+                )
+                h = np.zeros(len(idx), dtype=np.uint64)
+                for pos in range(tmax):
+                    active = clens > pos
+                    h[active] = h[active] * BASE + codes[active, pos]
+                out[idx] = h
+        return pd.Series(out.view(np.int64))
 
     return t(spark, sf, "documents").select(
         "doc_id", fingerprint("text").alias("fp")

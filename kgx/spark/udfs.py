@@ -234,6 +234,52 @@ def shingle_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+def simhash64_np(texts: pd.Series) -> np.ndarray:
+    """Vectorized 64-bit SimHash over whitespace tokens — no per-token
+    Python. Token hashing is a numpy pipeline: tokens (doc-deduped via
+    pandas explode/drop_duplicates/factorize, all C-level) are viewed
+    as fixed-width UCS4 code matrices (truncated to 16 chars — a
+    documented feature-hash approximation), folded with an FNV-style
+    uint64 polynomial (natural wraparound), finalized murmur-style,
+    and spread to ±1 bit matrices; per-doc accumulation is one
+    np.add.at. Returns int64[n] (signed view of the uint64 simhash)."""
+    s = texts.fillna("").reset_index(drop=True)
+    n = len(s)
+    out = np.zeros(n, dtype=np.uint64)
+    tk = s.str.split().explode().dropna()
+    if len(tk):
+        df = pd.DataFrame(
+            {"doc": tk.index.to_numpy(np.int64), "tok": tk.to_numpy()}
+        ).drop_duplicates()
+        codes, uniq = pd.factorize(df["tok"])
+        u = np.asarray(uniq, dtype="U16")
+        m = u.view(np.uint32).reshape(len(uniq), 16).astype(np.uint64)
+        h = np.zeros(len(uniq), dtype=np.uint64)
+        base = np.uint64(1099511628211)  # FNV-1a prime
+        for i in range(16):
+            h = h * base + m[:, i]
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        pm1 = 2 * bits - 1  # [n_uniq, 64] of ±1
+        acc = np.zeros((n, 64), dtype=np.int64)
+        np.add.at(acc, df["doc"].to_numpy(), pm1[codes])
+        sign = (acc > 0).astype(np.uint64)
+        out = (sign << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return out.view(np.int64)
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    return pd.Series(simhash64_np(texts))
+
+
 @F.pandas_udf(T.ArrayType(T.IntegerType()))
 def hp_band_keys(embs: pd.Series) -> pd.Series:
     """Embedding -> HP_BANDS hyperplane-LSH band keys (sign-projection
