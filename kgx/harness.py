@@ -1407,15 +1407,22 @@ _SHINGLE_SPARK = (
 )
 
 
+SHINGLE_DF_CAP = 100  # drop "stop shingles" shared by > cap documents
+
+
 @op(
     "dedup_ngram_jaccard",
-    """
+    f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
                FROM documents),
-    sh AS (SELECT DISTINCT doc_id,
+    sh0 AS (SELECT DISTINCT doc_id,
               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
            FROM w, UNNEST(range(1, len(ws) - 1)) AS u(i)
            WHERE len(ws) >= 3),
+    keep AS (SELECT shingle FROM sh0 GROUP BY shingle
+             HAVING count(*) <= {SHINGLE_DF_CAP}),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
+           JOIN keep ON keep.shingle = sh0.shingle),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                       count(*) AS c
@@ -1431,14 +1438,29 @@ _SHINGLE_SPARK = (
 )
 def dedup_ngram_jaccard(spark, sf):
     """Word-3-gram shingle Jaccard via explode + self-join (the
-    scalable exact-verification path behind MinHash)."""
-    sh = (
+    scalable exact-verification path behind MinHash).
+
+    Hot-shingle guard: a "stop shingle" present in more than
+    SHINGLE_DF_CAP documents would make its self-join group quadratic
+    (a shingle shared by millions of docs at 100 TB dominates the
+    stage), so similarity is defined over the document-frequency-
+    capped shingle universe — sizes AND intersections both use the
+    filtered set, and the DuckDB oracle applies the identical cap, so
+    the value-hash check covers the guard."""
+    sh0 = (
         t(spark, sf, "documents")
         .select("doc_id", F.split("text", " ").alias("ws"))
         .where(F.size("ws") >= 3)
         .select("doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("shingle"))
         .distinct()
     )
+    keep = (
+        sh0.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh0.join(keep, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

@@ -424,8 +424,12 @@ def link_links(mentions: DataFrame, dict_df: DataFrame,
         .groupBy("nid")
         .agg(F.max("sim").alias("best_sim"))
     )
+    # node_sim is DATA-DERIVED (one row per LSH-edge endpoint) — it
+    # grows with the corpus, so a broadcast hint would OOM the driver
+    # at scale; leave the strategy to AQE (which will still broadcast
+    # it when it happens to be small).
     return (
-        exact.join(F.broadcast(node_sim), exact.node_id == node_sim.nid,
+        exact.join(node_sim, exact.node_id == node_sim.nid,
                    "left")
         .select(
             "conv_id",
