@@ -26,7 +26,10 @@ SEED = 42
 BASE_TS_US = 1767225600_000000  # 2026-01-01T00:00:00Z in epoch micros
 DICT_TS_US = (1764547200_000000, 1768435200_000000)  # 2025-12-01, 2026-01-15
 
-TIERS = {"t1": 40, "t2": 400, "bench": 20000}
+TIERS = {"t1": 40, "t2": 400, "bench": 20000,
+         # CJK tiers: same sizes, Chinese-script assets (A.1: the
+         # reference contract is per-character Chinese NER)
+         "t1_zh": 40, "t2_zh": 400}
 
 TOOLS = ("search", "calc", "browse", "db")
 
@@ -86,6 +89,56 @@ ORG_STEM = (
 ORG_MID = ("graph", "dyne", "core", "flux", "metric", "logic", "scape",
            "forge")
 ORG_TAIL = ("Inc", "Labs", "Group", "Systems", "Corp")
+
+
+# --- CJK (Chinese-script) assets -------------------------------------------
+# Per-char BIO over Chinese text is the reference's actual target
+# domain (MSRA/People's-Daily-style). Sentences have NO spaces; spans
+# are char offsets; relation cues are distinct multi-char markers so
+# each consecutive (subj_etype, obj_etype, inter-text) is unambiguous.
+
+PATTERNS_ZH = (
+    ("works_at", "就职于", "PER", "ORG"),
+    ("located_in", "位于", "ORG", "LOC"),
+    ("visited", "访问了", "PER", "LOC"),
+    ("met", "会见了", "PER", "PER"),
+    ("founded", "创办了", "PER", "ORG"),
+    ("part_of", "隶属于", "ORG", "ORG"),
+    ("member_of", "加入了", "PER", "ORG"),
+    ("uses", "使用了", "PER", "ORG"),
+)
+
+ENTITY_TEMPLATES_ZH = (
+    ("{PER}就职于{ORG}。", ("PER", "ORG")),
+    ("{ORG}位于{LOC}。", ("ORG", "LOC")),
+    ("{PER}上周访问了{LOC}。", ("PER", "LOC")),
+    ("{PER}昨天会见了{PER}。", ("PER", "PER")),
+    ("{PER}多年前创办了{ORG}。", ("PER", "ORG")),
+    ("{ORG}隶属于{ORG}。", ("ORG", "ORG")),
+    ("{PER}去年加入了{ORG}。", ("PER", "ORG")),
+    ("{PER}使用了{ORG}的产品。", ("PER", "ORG")),
+)
+
+FILLER_TEMPLATES_ZH = (
+    "今天的天气看起来很平静。",
+    "请汇总本季度的预算数据。",
+    "我现在帮你查一下。",
+    "会议改到下周举行。",
+    "这是你要的结果明细。",
+    "这个话题没有更多内容了。",
+)
+
+ZH_SURNAME = ("王", "李", "张", "刘", "陈", "杨", "黄", "赵", "周", "吴",
+              "徐", "孙", "马", "朱", "胡")
+ZH_GIVEN = ("伟国", "芳华", "敏杰", "静怡", "丽娟", "强生", "磊鑫",
+            "军平", "海洋", "文杰", "雨涛", "明轩")
+ZH_LOC_PREFIX = ("北", "南", "东", "西", "中", "新")
+ZH_LOC_STEM = ("华", "海", "安", "宁", "龙", "凤", "江", "山")
+ZH_LOC_SUFFIX = ("市", "州", "城", "县")
+ZH_ORG_STEM = ("华信", "中科", "联创", "天宇", "晨光", "瑞达", "宏远",
+               "金桥", "星河", "博雅")
+ZH_ORG_MID = ("科技", "网络", "数据", "智能", "能源", "传媒")
+ZH_ORG_TAIL = ("公司", "集团", "有限公司")
 
 
 @dataclass
@@ -197,6 +250,78 @@ def build_gazetteer() -> list[Entity]:
     return ents
 
 
+def build_gazetteer_zh() -> list[Entity]:
+    """Chinese-script gazetteer (t*_zh tiers). Same shape as the Latin
+    one: 40 PER / 40 LOC / 40 ORG with aliases and 5 hot entities.
+    No misspell variants: _misspell requires >=12 chars and Chinese
+    surfaces are 2-8 chars (dropping a char would also push char-bigram
+    Jaccard under JACCARD_TAU) — the fuzzy-LSH path is exercised by the
+    Latin tiers; linking here is exact-dict + provisional."""
+    rng = random.Random(SEED)
+    used: set[str] = set()
+    ents: list[Entity] = []
+
+    def claim(surface: str) -> bool:
+        n = normalize(surface)
+        if n in used:
+            return False
+        used.add(n)
+        return True
+
+    pairs = [(s, g) for s in ZH_SURNAME for g in ZH_GIVEN]
+    rng.shuffle(pairs)
+    n_per = 0
+    for s, g in pairs:
+        if n_per >= 40:
+            break
+        canonical = s + g
+        if not claim(canonical):
+            continue
+        e = Entity("PER", canonical)
+        for v in (g, canonical + "博士"):
+            if claim(v):
+                e.aliases.append(v)
+        ents.append(e)
+        n_per += 1
+
+    loc_names = [p + st for p in ZH_LOC_PREFIX for st in ZH_LOC_STEM]
+    rng.shuffle(loc_names)
+    n_loc = 0
+    for i, name in enumerate(loc_names):
+        if n_loc >= 40:
+            break
+        canonical = name + ZH_LOC_SUFFIX[i % len(ZH_LOC_SUFFIX)]
+        if not claim(canonical):
+            continue
+        e = Entity("LOC", canonical)
+        for v in (name, canonical + "地区"):
+            if claim(v):
+                e.aliases.append(v)
+        ents.append(e)
+        n_loc += 1
+
+    org_names = [s + m for s in ZH_ORG_STEM for m in ZH_ORG_MID]
+    rng.shuffle(org_names)
+    n_org = 0
+    for i, name in enumerate(org_names):
+        if n_org >= 40:
+            break
+        canonical = name + ZH_ORG_TAIL[i % len(ZH_ORG_TAIL)]
+        if not claim(canonical):
+            continue
+        e = Entity("ORG", canonical)
+        for v in (name, name[:2]):
+            if claim(v):
+                e.aliases.append(v)
+        ents.append(e)
+        n_org += 1
+
+    flat = sorted(ents, key=lambda e: (e.etype, e.canonical))
+    for e in rng.sample(flat, 5):
+        e.hot = True
+    return ents
+
+
 def build_artifact(ents: list[Entity]) -> TaggerArtifact:
     forms: list[str] = []
     etypes: list[str] = []
@@ -226,12 +351,14 @@ def _pick_surface(rng: random.Random, e: Entity) -> str:
 
 
 def render_sentence(
-    rng: random.Random, ents: list[Entity]
+    rng: random.Random, ents: list[Entity],
+    entity_templates=ENTITY_TEMPLATES,
+    filler_templates=FILLER_TEMPLATES,
 ) -> tuple[str, list[tuple[int, int, str]]]:
     """Render one template; returns (text, [(begin, end, etype)])."""
     if rng.random() < 0.30:
-        return rng.choice(FILLER_TEMPLATES), []
-    tpl, slots = ENTITY_TEMPLATES[rng.randrange(len(ENTITY_TEMPLATES))]
+        return rng.choice(filler_templates), []
+    tpl, slots = entity_templates[rng.randrange(len(entity_templates))]
     by_type = {t: [e for e in ents if e.etype == t] for t in
                ("PER", "LOC", "ORG")}
     parts = tpl.split("{")
@@ -245,7 +372,9 @@ def render_sentence(
     return text, spans
 
 
-def generate_transcripts(ents: list[Entity], n_convs: int):
+def generate_transcripts(ents: list[Entity], n_convs: int,
+                         entity_templates=ENTITY_TEMPLATES,
+                         filler_templates=FILLER_TEMPLATES):
     """Rows for the transcripts table (schema per BASELINE.json input_hint)."""
     rng = random.Random(SEED + 1)
     rows = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool",
@@ -259,7 +388,8 @@ def generate_transcripts(ents: list[Entity], n_convs: int):
             else:
                 role = rng.choices(("user", "assistant", "tool"),
                                    weights=(45, 45, 10), k=1)[0]
-            text, _ = render_sentence(rng, ents)
+            text, _ = render_sentence(rng, ents, entity_templates,
+                                      filler_templates)
             rows["conv_id"].append(conv_id)
             rows["turn_idx"].append(t)
             rows["role"].append(role)
@@ -304,23 +434,26 @@ def alias_dict_table(ents: list[Entity]) -> pa.Table:
     )
 
 
-def patterns_table() -> pa.Table:
+def patterns_table(patterns=PATTERNS) -> pa.Table:
     return pa.table(
         {
-            "pred": pa.array([p[0] for p in PATTERNS], pa.string()),
-            "regex": pa.array([p[1] for p in PATTERNS], pa.string()),
-            "subj_etype": pa.array([p[2] for p in PATTERNS], pa.string()),
-            "obj_etype": pa.array([p[3] for p in PATTERNS], pa.string()),
+            "pred": pa.array([p[0] for p in patterns], pa.string()),
+            "regex": pa.array([p[1] for p in patterns], pa.string()),
+            "subj_etype": pa.array([p[2] for p in patterns], pa.string()),
+            "obj_etype": pa.array([p[3] for p in patterns], pa.string()),
         }
     )
 
 
-def bio_eval_rows(ents: list[Entity], n_sentences: int = 500):
+def bio_eval_rows(ents: list[Entity], n_sentences: int = 500,
+                  entity_templates=ENTITY_TEMPLATES,
+                  filler_templates=FILLER_TEMPLATES):
     """MSRA-style char-BIO corpus; gold tags from splice positions."""
     rng = random.Random(SEED + 2)
     sent_ids, chars_col, tags_col = [], [], []
     for sid in range(n_sentences):
-        text, spans = render_sentence(rng, ents)
+        text, spans = render_sentence(rng, ents, entity_templates,
+                                      filler_templates)
         tags = ["O"] * len(text)
         for begin, end, etype in spans:
             tags[begin] = f"B-{etype}"
@@ -353,9 +486,15 @@ def write_bio_text(path: str, chars_col, tags_col) -> None:
 
 
 def generate(outdir: str, tier: str = "t2") -> dict[str, str]:
-    """Materialize all fixtures for a tier; idempotent + deterministic."""
+    """Materialize all fixtures for a tier; idempotent + deterministic.
+    Tiers ending in `_zh` use the Chinese-script gazetteer, templates
+    and relation patterns (per-char BIO over no-space text)."""
     os.makedirs(outdir, exist_ok=True)
-    ents = build_gazetteer()
+    zh = tier.endswith("_zh")
+    ents = build_gazetteer_zh() if zh else build_gazetteer()
+    ent_tpl = ENTITY_TEMPLATES_ZH if zh else ENTITY_TEMPLATES
+    fil_tpl = FILLER_TEMPLATES_ZH if zh else FILLER_TEMPLATES
+    pats = PATTERNS_ZH if zh else PATTERNS
     paths = {
         "transcripts": os.path.join(outdir, "transcripts.parquet"),
         "alias_dict": os.path.join(outdir, "alias_dict.parquet"),
@@ -365,12 +504,12 @@ def generate(outdir: str, tier: str = "t2") -> dict[str, str]:
         "artifact": os.path.join(outdir, "tagger_v1.npz"),
         "meta": os.path.join(outdir, "meta.json"),
     }
-    rows = generate_transcripts(ents, TIERS[tier])
+    rows = generate_transcripts(ents, TIERS[tier], ent_tpl, fil_tpl)
     pq.write_table(transcripts_table(rows), paths["transcripts"])
     pq.write_table(alias_dict_table(ents), paths["alias_dict"])
-    pq.write_table(patterns_table(), paths["patterns"])
+    pq.write_table(patterns_table(pats), paths["patterns"])
     sent_ids, chars_col, tags_col = bio_eval_rows(
-        ents, 500 if tier != "t1" else 100
+        ents, 100 if tier.startswith("t1") else 500, ent_tpl, fil_tpl
     )
     pq.write_table(bio_eval_table(sent_ids, chars_col, tags_col),
                    paths["bio_eval"])

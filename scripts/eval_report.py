@@ -1,14 +1,17 @@
 """Acceptance-gate evaluation report (BASELINE.md rows 1-3):
 
 1. Triple-set P/R of the distributed Spark pipeline vs the sequential
-   oracle ("the reference", SURVEY §0) on the t2 fixture — gate >=0.95.
+   oracle ("the reference", SURVEY §0) — gate >=0.95 — on the t2
+   fixture AND the Chinese-script t2_zh fixture (SURVEY A.1: the
+   reference contract is per-character Chinese NER; the CJK tier
+   proves the per-char path on multi-byte, no-whitespace text).
 2. conlleval entity P/R/F1 (per-type + overall) + token accuracy of
-   the Spark tagger UDF on the MSRA-style char-BIO eval fixture.
+   the Spark tagger UDF on each tier's char-BIO eval fixture.
 3. Per-table row counts, both engines.
 
-Writes EVAL.md + prints one JSON line.
+Writes EVAL.md + prints one JSON line per tier.
 
-Usage: python scripts/eval_report.py [--tier t2]
+Usage: python scripts/eval_report.py [--tiers t2,t2_zh]
 """
 
 from __future__ import annotations
@@ -24,32 +27,25 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--tier", default="t2")
-    args = ap.parse_args()
-
-    fixture = os.path.join(REPO, "fixtures", args.tier)
+def evaluate(spark, tier: str) -> tuple[dict, list[str]]:
+    fixture = os.path.join(REPO, "fixtures", tier)
     if not os.path.exists(os.path.join(fixture, "meta.json")):
         from kgx import synth
 
-        synth.generate(fixture, args.tier)
+        synth.generate(fixture, tier)
+
+    from pyspark.sql import functions as F
 
     from kgx import oracle
     from kgx.evalkit import conlleval, triple_prf
+    from kgx.spark.run import Runner
 
     ref = oracle.run(fixture)
     ref_triples = set(ref["triple_set"])
 
-    from pyspark.sql import functions as F
-
-    from kgx.spark.run import Runner
-    from kgx.spark.session import get_spark
-
-    spark = get_spark("kgx-eval", cores=8, shuffle_partitions=16)
-    wh = tempfile.mkdtemp(prefix="kgx_eval_wh_")
+    wh = tempfile.mkdtemp(prefix=f"kgx_eval_{tier}_wh_")
     try:
-        runner = Runner(spark, fixture, wh, "eval", buckets=16)
+        runner = Runner(spark, fixture, wh, f"eval_{tier}", buckets=16)
         runner.run()
         ours = {
             (r["subj_id"], r["pred"], r["obj_id"])
@@ -63,7 +59,6 @@ def main() -> None:
                       "edges", "vertices")
         }
 
-        # conlleval: Spark tagger over the char-BIO eval corpus
         from kgx.spark.udfs import make_tagger_udf
         from kgx.tagcore import TaggerArtifact
 
@@ -81,7 +76,6 @@ def main() -> None:
         rep = conlleval(gold, pred)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
-        spark.stop()
 
     prf = triple_prf(ours, ref_triples)
     gate = prf["precision"] >= 0.95 and prf["recall"] >= 0.95
@@ -91,7 +85,7 @@ def main() -> None:
         "precision": round(prf["precision"], 6),
         "recall": round(prf["recall"], 6),
         "pass": bool(gate),
-        "tier": args.tier,
+        "tier": tier,
         "n_triples_ours": prf["ours"],
         "n_triples_ref": prf["ref"],
         "conlleval_overall_f1": round(rep["overall"]["f1"], 6),
@@ -99,14 +93,12 @@ def main() -> None:
         "rows": counts,
     }
 
+    label = ("Chinese-script (per-char, multi-byte, no-whitespace)"
+             if tier.endswith("_zh") else "Latin-script")
     md = [
-        "# EVAL — acceptance-gate report",
+        f"## Tier `{tier}` — {label}",
         "",
-        f"Fixture `{args.tier}` (deterministic, FIXTURES.md). "
-        "\"Reference\" = the pinned sequential oracle (SURVEY.md §0; "
-        "`/root/reference` was empty at survey time).",
-        "",
-        "## 1. Triple-set P/R — distributed pipeline vs reference",
+        "### Triple-set P/R — distributed pipeline vs reference",
         "",
         "| metric | value | gate |",
         "| --- | --- | --- |",
@@ -117,7 +109,7 @@ def main() -> None:
         f"| distinct (s,p,o) ours / ref | {prf['ours']} / {prf['ref']} "
         "| — |",
         "",
-        "## 2. conlleval — entity tagging on the char-BIO eval set",
+        "### conlleval — entity tagging on the char-BIO eval set",
         "",
         "| type | precision | recall | F1 | gold | guessed |",
         "| --- | --- | --- | --- | --- | --- |",
@@ -134,13 +126,7 @@ def main() -> None:
         "",
         f"Token accuracy: {rep['token_accuracy']:.4f}",
         "",
-        "(The gold tags are synthesized from the same gazetteer the "
-        "frozen tagger holds, so F1 ~= 1.0 by construction — the eval "
-        "verifies the *pipeline*, i.e. that the distributed tagger, "
-        "span decoding, and bookkeeping do not diverge from the "
-        "contract; see SURVEY.md Appendix A.3.)",
-        "",
-        "## 3. Table row counts (Spark pipeline)",
+        "### Table row counts (Spark pipeline)",
         "",
         "| table | rows |",
         "| --- | --- |",
@@ -148,9 +134,43 @@ def main() -> None:
     for t, n in counts.items():
         md.append(f"| {t} | {n} |")
     md.append("")
+    return out, md
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiers", default="t2,t2_zh")
+    args = ap.parse_args()
+    tiers = args.tiers.split(",")
+
+    from kgx.spark.session import get_spark
+
+    spark = get_spark("kgx-eval", cores=8, shuffle_partitions=16)
+    md = [
+        "# EVAL — acceptance-gate report",
+        "",
+        "Deterministic fixtures (FIXTURES.md). \"Reference\" = the "
+        "pinned sequential oracle (SURVEY.md §0; `/root/reference` was "
+        "empty at survey time). The gold BIO tags are synthesized from "
+        "the same gazetteer the frozen tagger holds, so F1 ~= 1.0 by "
+        "construction — the eval verifies the *pipeline* (distributed "
+        "tagger, span decode, bookkeeping) does not diverge from the "
+        "contract; see SURVEY.md Appendix A.3.",
+        "",
+    ]
+    outs = []
+    try:
+        for tier in tiers:
+            out, lines = evaluate(spark, tier)
+            outs.append(out)
+            md.extend(lines)
+    finally:
+        spark.stop()
+
     with open(os.path.join(REPO, "EVAL.md"), "w") as f:
         f.write("\n".join(md))
-    print(json.dumps(out))
+    for out in outs:
+        print(json.dumps(out))
 
 
 if __name__ == "__main__":
