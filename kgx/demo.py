@@ -19,10 +19,12 @@ import sys
 
 from kgx.contract import ETYPES
 from kgx.tagcore import (
+    TAGS,
     LexiconMatcher,
     TaggerArtifact,
     decode_bio,
-    tag_text,
+    make_emitter,
+    viterbi,
 )
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -42,7 +44,8 @@ def demo_one(text: str, artifact_path: str | None = None) -> dict:
     get_PER/LOC/ORG_entity of the reference's utils.get_entity)."""
     art = TaggerArtifact.load(artifact_path or _default_artifact())
     matcher = LexiconMatcher(art)
-    tags = tag_text(text, matcher, art.transitions)
+    emit = make_emitter(art, matcher)  # model slot: v1 or v2 by path
+    tags = [TAGS[i] for i in viterbi(emit(text), art.transitions)]
     spans = decode_bio(tags, text)
     out: dict[str, list[str]] = {et: [] for et in ETYPES}
     for s in spans:

@@ -34,7 +34,14 @@ from kgx.contract import (
     prov_id,
     tool_id,
 )
-from kgx.tagcore import LexiconMatcher, TaggerArtifact, decode_bio, tag_text
+from kgx.tagcore import (
+    TAGS,
+    LexiconMatcher,
+    TaggerArtifact,
+    decode_bio,
+    make_emitter,
+    viterbi,
+)
 
 
 def _read(path: str) -> list[dict]:
@@ -60,13 +67,16 @@ class UnionFind:
 
 
 def tag_and_extract_mentions(turns: list[dict], artifact: TaggerArtifact):
-    """Stage tag: transcripts -> mentions (list of dicts, FIXTURES §5)."""
+    """Stage tag: transcripts -> mentions (list of dicts, FIXTURES §5).
+    Emission model selected by artifact.kind (make_emitter) — same
+    dispatch the Spark UDFs use."""
     matcher = LexiconMatcher(artifact)
+    emit = make_emitter(artifact, matcher)
     a = artifact.transitions
     mentions = []
     for t in turns:
         text = t["text"]
-        tags = tag_text(text, matcher, a)
+        tags = [TAGS[i] for i in viterbi(emit(text), a)]
         for sp in decode_bio(tags, text):
             mentions.append(
                 {
@@ -332,12 +342,14 @@ def materialize(
     return edges, vertices
 
 
-def run(fixture_dir: str) -> dict:
-    """Full sequential pipeline over a fixture dir; returns all tables."""
+def run(fixture_dir: str, artifact_name: str = "tagger_v1.npz") -> dict:
+    """Full sequential pipeline over a fixture dir; returns all tables.
+    `artifact_name` selects the tagger checkpoint (v1 lexicon+CRF or
+    v2 context-cue-weighted) — the pipeline is model-agnostic."""
     turns = _read(f"{fixture_dir}/transcripts.parquet")
     alias_rows = _read(f"{fixture_dir}/alias_dict.parquet")
     patterns = _read(f"{fixture_dir}/patterns.parquet")
-    artifact = TaggerArtifact.load(f"{fixture_dir}/tagger_v1.npz")
+    artifact = TaggerArtifact.load(f"{fixture_dir}/{artifact_name}")
 
     mentions = tag_and_extract_mentions(turns, artifact)
     triples = extract_triples(turns, mentions, patterns)

@@ -54,13 +54,14 @@ def run_pipeline(
 
 
 def run_fixture_pipeline(
-    spark: SparkSession, fixture_dir: str, buckets: int = 32
+    spark: SparkSession, fixture_dir: str, buckets: int = 32,
+    artifact: str = "tagger_v1.npz",
 ) -> dict[str, DataFrame]:
     return run_pipeline(
         spark,
         f"{fixture_dir}/transcripts.parquet",
         f"{fixture_dir}/alias_dict.parquet",
         f"{fixture_dir}/patterns.parquet",
-        f"{fixture_dir}/tagger_v1.npz",
+        f"{fixture_dir}/{artifact}",
         buckets=buckets,
     )

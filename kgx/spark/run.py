@@ -117,13 +117,14 @@ class Runner:
     recomputing the tagger per downstream output doubles UDF work.)"""
 
     def __init__(self, spark: SparkSession, input_dir: str, out: str,
-                 run_id: str, buckets: int = 32):
+                 run_id: str, buckets: int = 32,
+                 artifact: str = "tagger_v1.npz"):
         self.spark = spark
         self.input_dir = input_dir
         self.io = TableIO(out)
         self.run_id = run_id
         self.buckets = buckets
-        self.artifact_path = os.path.join(input_dir, "tagger_v1.npz")
+        self.artifact_path = os.path.join(input_dir, artifact)
         self._tagger = None
         self.events: list[dict] = []
         self._metrics_rows: list[dict] = []
@@ -327,6 +328,10 @@ def main(argv=None) -> dict:
     ap.add_argument("--run-id", default="r0")
     ap.add_argument("--stages", default="all")
     ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--artifact", default="tagger_v1.npz",
+                    help="tagger checkpoint file inside --input (the "
+                    "pluggable model slot: tagger_v1.npz lexicon+CRF, "
+                    "tagger_v2.npz context-cue-weighted)")
     ap.add_argument("--stop-after", default=None,
                     help="simulate failure after this stage (resume test)")
     ap.add_argument("--cores", type=int, default=None)
@@ -344,7 +349,7 @@ def main(argv=None) -> dict:
     only = None if args.stages == "all" else args.stages.split(",")
     t0 = time.time()
     runner = Runner(spark, args.input, args.out, args.run_id,
-                    buckets=args.buckets)
+                    buckets=args.buckets, artifact=args.artifact)
     events = runner.run(upto=args.stop_after, only=only)
     report = {
         "run_id": args.run_id,

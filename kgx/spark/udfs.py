@@ -29,7 +29,7 @@ from kgx.tagcore import (
     LexiconMatcher,
     TaggerArtifact,
     decode_bio,
-    emissions,
+    make_emitter,
     viterbi_batch_sorted,
 )
 
@@ -49,24 +49,17 @@ VITERBI_CHUNK = 512  # bounds the padded DP tensor (512*512*7*8B ~ 15MB)
 
 def make_tagger_udf(spark: SparkSession, artifact: TaggerArtifact):
     """text -> array<string> BIO tags; model loaded once per worker."""
-    bc = spark.sparkContext.broadcast(
-        {
-            "forms": artifact.forms,
-            "etypes": artifact.etypes,
-            "transitions": artifact.transitions,
-        }
-    )
+    bc = spark.sparkContext.broadcast(artifact.as_dict())
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def tag_turns(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        art = bc.value
-        matcher = LexiconMatcher(
-            TaggerArtifact(art["forms"], art["etypes"], art["transitions"])
-        )
-        a = art["transitions"]
+        art = TaggerArtifact.from_dict(bc.value)
+        matcher = LexiconMatcher(art)
+        emit = make_emitter(art, matcher)
+        a = art.transitions
         for texts in batches:
             vals = texts.fillna("").tolist()
-            ems = [emissions(t, matcher) for t in vals]
+            ems = [emit(t) for t in vals]
             paths = viterbi_batch_sorted(ems, a, chunk=VITERBI_CHUNK)
             yield pd.Series([[TAGS[j] for j in p] for p in paths])
 
@@ -78,24 +71,17 @@ def make_tagger_spans_udf(spark: SparkSession, artifact: TaggerArtifact):
     inside the same worker call). Tagging and decode as separate UDFs
     would ship text across the Arrow boundary twice and tags once —
     measured ~20% of the tag stage at 19.7M turns."""
-    bc = spark.sparkContext.broadcast(
-        {
-            "forms": artifact.forms,
-            "etypes": artifact.etypes,
-            "transitions": artifact.transitions,
-        }
-    )
+    bc = spark.sparkContext.broadcast(artifact.as_dict())
 
     @F.pandas_udf(SPAN_TYPE)
     def tag_spans(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        art = bc.value
-        matcher = LexiconMatcher(
-            TaggerArtifact(art["forms"], art["etypes"], art["transitions"])
-        )
-        a = art["transitions"]
+        art = TaggerArtifact.from_dict(bc.value)
+        matcher = LexiconMatcher(art)
+        emit = make_emitter(art, matcher)
+        a = art.transitions
         for texts in batches:
             vals = texts.fillna("").tolist()
-            ems = [emissions(t, matcher) for t in vals]
+            ems = [emit(t) for t in vals]
             paths = viterbi_batch_sorted(ems, a, chunk=VITERBI_CHUNK)
             yield pd.Series(
                 [decode_bio([TAGS[j] for j in p], t)
@@ -124,25 +110,18 @@ def make_tagger_offsets_udf(spark: SparkSession, artifact: TaggerArtifact):
     span) measured ~2x the tagger's actual compute at 19.7M turns;
     primitive int arrays serialize near-zero-copy and the substring /
     struct building is whole-stage-codegen JVM work."""
-    bc = spark.sparkContext.broadcast(
-        {
-            "forms": artifact.forms,
-            "etypes": artifact.etypes,
-            "transitions": artifact.transitions,
-        }
-    )
+    bc = spark.sparkContext.broadcast(artifact.as_dict())
     code_of = {e: i for i, e in enumerate(ETYPE_CODES)}
 
     @F.pandas_udf(OFFSETS_TYPE)
     def tag_offsets(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-        art = bc.value
-        matcher = LexiconMatcher(
-            TaggerArtifact(art["forms"], art["etypes"], art["transitions"])
-        )
-        a = art["transitions"]
+        art = TaggerArtifact.from_dict(bc.value)
+        matcher = LexiconMatcher(art)
+        emit = make_emitter(art, matcher)
+        a = art.transitions
         for texts in batches:
             vals = texts.fillna("").tolist()
-            ems = [emissions(t, matcher) for t in vals]
+            ems = [emit(t) for t in vals]
             paths = viterbi_batch_sorted(ems, a, chunk=VITERBI_CHUNK)
             begins, ends, codes = [], [], []
             for p, t in zip(paths, vals):

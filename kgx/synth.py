@@ -322,6 +322,18 @@ def build_gazetteer_zh() -> list[Entity]:
     return ents
 
 
+# context cues for the v2 (lexicon_ctx_crf) artifact: a cue string
+# ending immediately before a mention boosts that etype's B-score;
+# weak forms (misspells) require cue support to emit at all.
+CUES_EN = (("at ", "ORG", 2.0), ("in ", "LOC", 2.0),
+           ("visited ", "LOC", 2.0), ("of ", "ORG", 2.0),
+           ("founded ", "ORG", 2.0), ("met ", "PER", 2.0))
+CUES_ZH = (("就职于", "ORG", 2.0), ("位于", "LOC", 2.0),
+           ("访问了", "LOC", 2.0), ("会见了", "PER", 2.0),
+           ("创办了", "ORG", 2.0), ("隶属于", "ORG", 2.0),
+           ("加入了", "ORG", 2.0), ("使用了", "ORG", 2.0))
+
+
 def build_artifact(ents: list[Entity]) -> TaggerArtifact:
     forms: list[str] = []
     etypes: list[str] = []
@@ -332,6 +344,29 @@ def build_artifact(ents: list[Entity]) -> TaggerArtifact:
     return TaggerArtifact(
         forms=tuple(forms), etypes=tuple(etypes),
         transitions=build_transitions(),
+    )
+
+
+def build_artifact_v2(ents: list[Entity], cues) -> TaggerArtifact:
+    """Second checkpoint for the same tagger slot (SURVEY A.3):
+    context-cue-weighted emissions with weak-form gating. Selected
+    purely by artifact path — no pipeline code changes."""
+    forms: list[str] = []
+    etypes: list[str] = []
+    weak: list[int] = []
+    for e in sorted(ents, key=lambda x: (x.etype, x.canonical)):
+        for f in e.dict_surfaces():
+            forms.append(f)
+            etypes.append(e.etype)
+            weak.append(0)
+        for f in e.misspells:
+            forms.append(f)
+            etypes.append(e.etype)
+            weak.append(1)
+    return TaggerArtifact(
+        forms=tuple(forms), etypes=tuple(etypes),
+        transitions=build_transitions(),
+        kind="lexicon_ctx_crf", cues=tuple(cues), weak=tuple(weak),
     )
 
 
@@ -502,6 +537,7 @@ def generate(outdir: str, tier: str = "t2") -> dict[str, str]:
         "bio_eval": os.path.join(outdir, "bio_eval.parquet"),
         "bio_eval_txt": os.path.join(outdir, "bio_eval.txt"),
         "artifact": os.path.join(outdir, "tagger_v1.npz"),
+        "artifact_v2": os.path.join(outdir, "tagger_v2.npz"),
         "meta": os.path.join(outdir, "meta.json"),
     }
     rows = generate_transcripts(ents, TIERS[tier], ent_tpl, fil_tpl)
@@ -515,6 +551,8 @@ def generate(outdir: str, tier: str = "t2") -> dict[str, str]:
                    paths["bio_eval"])
     write_bio_text(paths["bio_eval_txt"], chars_col, tags_col)
     build_artifact(ents).save(paths["artifact"])
+    build_artifact_v2(ents, CUES_ZH if zh else CUES_EN).save(
+        paths["artifact_v2"])
     with open(paths["meta"], "w") as f:
         json.dump(
             {"tier": tier, "n_convs": TIERS[tier],

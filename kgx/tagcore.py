@@ -45,11 +45,24 @@ def build_transitions() -> np.ndarray:
 
 @dataclass(frozen=True)
 class TaggerArtifact:
-    """Frozen model: lexicon (surface form -> etype) + transitions."""
+    """Frozen model behind the pluggable tagger slot (SURVEY A.3: the
+    reference ships interchangeable BiLSTM-CRF / BERT checkpoints; our
+    twin is interchangeable EMISSION MODELS behind one artifact
+    interface, selected purely by artifact path).
+
+    kind = "lexicon_crf": plain longest-match lexicon emissions (v1).
+    kind = "lexicon_ctx_crf": context-cue-weighted emissions (v2) —
+    a cue string immediately preceding a hit boosts its B-score, and
+    WEAK forms (e.g. misspell variants) are only emitted at all when
+    cue-supported. Everything downstream (Viterbi, decode, pipeline)
+    is model-agnostic."""
 
     forms: tuple[str, ...]
     etypes: tuple[str, ...]
     transitions: np.ndarray
+    kind: str = "lexicon_crf"
+    cues: tuple = ()  # (cue_str, etype, bonus)
+    weak: tuple = ()  # per-form 0/1, aligned with forms ( () = all strong)
 
     def save(self, path: str) -> None:
         np.savez(
@@ -57,16 +70,44 @@ class TaggerArtifact:
             forms=np.array(self.forms, dtype=object),
             etypes=np.array(self.etypes, dtype=object),
             transitions=self.transitions,
+            kind=np.array(self.kind),
+            cues=np.array(list(self.cues), dtype=object),
+            weak=np.array(list(self.weak), dtype=np.int8),
         )
 
     @staticmethod
     def load(path: str) -> "TaggerArtifact":
         z = np.load(path, allow_pickle=True)
+        kind = str(z["kind"]) if "kind" in z else "lexicon_crf"
+        cues = (
+            tuple(tuple(c) for c in z["cues"].tolist())
+            if "cues" in z else ()
+        )
+        weak = tuple(z["weak"].tolist()) if "weak" in z else ()
         return TaggerArtifact(
             forms=tuple(z["forms"].tolist()),
             etypes=tuple(z["etypes"].tolist()),
             transitions=z["transitions"].astype(np.float32),
+            kind=kind,
+            cues=cues,
+            weak=weak,
         )
+
+    def as_dict(self) -> dict:
+        """Plain-dict form for Spark broadcast (no dataclass pickling
+        surprises across Python worker boundaries)."""
+        return {
+            "forms": self.forms,
+            "etypes": self.etypes,
+            "transitions": self.transitions,
+            "kind": self.kind,
+            "cues": self.cues,
+            "weak": self.weak,
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "TaggerArtifact":
+        return TaggerArtifact(**d)
 
 
 class LexiconMatcher:
@@ -91,12 +132,13 @@ class LexiconMatcher:
         else:
             self._rx = None
 
-    def matches(self, text: str) -> list[tuple[int, int, str]]:
-        """Non-overlapping (begin, end, etype) hits, left to right."""
+    def matches(self, text: str) -> list[tuple[int, int, str, str]]:
+        """Non-overlapping (begin, end, etype, form) hits, left to
+        right."""
         if self._rx is None:
             return []
         return [
-            (m.start(), m.end(), self._etype[m.group(0)])
+            (m.start(), m.end(), self._etype[m.group(0)], m.group(0))
             for m in self._rx.finditer(text)
         ]
 
@@ -106,7 +148,7 @@ def emissions(text: str, matcher: LexiconMatcher) -> np.ndarray:
     t = min(len(text), MAX_TAG_LEN)
     e = np.zeros((t, NUM_TAGS), dtype=np.float32)
     e[:, 1:] = MISS_SCORE  # default: prefer O
-    for begin, end, etype in matcher.matches(text[:t]):
+    for begin, end, etype, _form in matcher.matches(text[:t]):
         b_id, i_id = TAG2ID[f"B-{etype}"], TAG2ID[f"I-{etype}"]
         e[begin, :] = MISS_SCORE
         e[begin, b_id] = MATCH_SCORE
@@ -114,6 +156,55 @@ def emissions(text: str, matcher: LexiconMatcher) -> np.ndarray:
             e[k, :] = MISS_SCORE
             e[k, i_id] = MATCH_SCORE
     return e
+
+
+def emissions_ctx(text: str, matcher: LexiconMatcher, cues: tuple,
+                  weak_forms: frozenset) -> np.ndarray:
+    """v2 emission model (kind="lexicon_ctx_crf"): like emissions(),
+    but a cue string ending right before a hit's begin adds its bonus
+    to the B-score, and WEAK forms are emitted only when supported by
+    a cue. A distinct model behind the same slot — the BiLSTM/BERT
+    second-checkpoint story of SURVEY A.3."""
+    t = min(len(text), MAX_TAG_LEN)
+    e = np.zeros((t, NUM_TAGS), dtype=np.float32)
+    e[:, 1:] = MISS_SCORE
+    for begin, end, etype, form in matcher.matches(text[:t]):
+        bonus = 0.0
+        for cs, ce, bo in cues:
+            if (
+                ce == etype
+                and begin >= len(cs)
+                and text[begin - len(cs) : begin] == cs
+            ):
+                bonus = max(bonus, float(bo))
+        if form in weak_forms and bonus == 0.0:
+            continue  # unsupported weak form: no emission at all
+        b_id, i_id = TAG2ID[f"B-{etype}"], TAG2ID[f"I-{etype}"]
+        e[begin, :] = MISS_SCORE
+        e[begin, b_id] = MATCH_SCORE + bonus
+        for k in range(begin + 1, min(end, t)):
+            e[k, :] = MISS_SCORE
+            e[k, i_id] = MATCH_SCORE
+    return e
+
+
+def make_emitter(artifact: TaggerArtifact, matcher: LexiconMatcher):
+    """Emission-model dispatch on artifact.kind — the ONLY place that
+    knows which model an artifact carries. Viterbi/decode/pipeline are
+    agnostic."""
+    if artifact.kind == "lexicon_ctx_crf":
+        weak_forms = frozenset(
+            f for f, w in zip(artifact.forms, artifact.weak) if w
+        )
+        cues = artifact.cues
+
+        def emit(text: str) -> np.ndarray:
+            return emissions_ctx(text, matcher, cues, weak_forms)
+
+        return emit
+    if artifact.kind != "lexicon_crf":
+        raise ValueError(f"unknown tagger artifact kind: {artifact.kind}")
+    return lambda text: emissions(text, matcher)
 
 
 def viterbi(e: np.ndarray, a: np.ndarray) -> list[int]:

@@ -99,9 +99,10 @@ def _artifact():
 def test_matcher_longest_match():
     m = LexiconMatcher(_artifact())
     hits = m.matches("Ana Park works at Novagraph Inc .")
-    assert hits == [(0, 8, "PER"), (18, 31, "ORG")]
+    assert hits == [(0, 8, "PER", "Ana Park"),
+                    (18, 31, "ORG", "Novagraph Inc")]
     hits = m.matches("Ana went home")  # shorter form still matches
-    assert hits == [(0, 3, "PER")]
+    assert hits == [(0, 3, "PER", "Ana")]
 
 
 def test_tag_text_end_to_end():
