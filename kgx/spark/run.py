@@ -118,13 +118,17 @@ class Runner:
 
     def __init__(self, spark: SparkSession, input_dir: str, out: str,
                  run_id: str, buckets: int = 32,
-                 artifact: str = "tagger_v1.npz"):
+                 artifact: str = "tagger_v1.npz",
+                 cc_checkpoint_every: int = 5):
         self.spark = spark
         self.input_dir = input_dir
         self.io = TableIO(out)
         self.run_id = run_id
         self.buckets = buckets
         self.artifact_path = os.path.join(input_dir, artifact)
+        # reliable (warehouse-backed) CC state commits every k
+        # iterations; 0 disables (sandbox-fast, executor-local only)
+        self.cc_checkpoint_every = cc_checkpoint_every
         self._tagger = None
         self.events: list[dict] = []
         self._metrics_rows: list[dict] = []
@@ -293,8 +297,14 @@ class Runner:
             [self.io.path("mentions"), self.in_path("alias_dict")])
 
     def stage_canon(self):
-        labels = stages.connected_components(self.read("nodes"),
-                                             self.read("lsh_edges"))
+        fp = fingerprint_paths(
+            self.io.path("nodes"), self.io.path("lsh_edges")
+        ) + f"|b{self.buckets}"
+        labels = stages.connected_components(
+            self.read("nodes"), self.read("lsh_edges"),
+            state_io=self.io if self.cc_checkpoint_every else None,
+            state_fp=fp,
+            checkpoint_every=self.cc_checkpoint_every)
         entity_map, cc_vertices = stages.canonicalize(self.read("nodes"),
                                                       labels)
         self._stage("canon",
@@ -332,6 +342,10 @@ def main(argv=None) -> dict:
                     help="tagger checkpoint file inside --input (the "
                     "pluggable model slot: tagger_v1.npz lexicon+CRF, "
                     "tagger_v2.npz context-cue-weighted)")
+    ap.add_argument("--cc-checkpoint-every", type=int, default=5,
+                    help="commit CC iteration state to the warehouse "
+                    "every N iterations (cluster-safe resume; 0 = "
+                    "executor-local lineage cuts only)")
     ap.add_argument("--stop-after", default=None,
                     help="simulate failure after this stage (resume test)")
     ap.add_argument("--cores", type=int, default=None)
@@ -349,7 +363,8 @@ def main(argv=None) -> dict:
     only = None if args.stages == "all" else args.stages.split(",")
     t0 = time.time()
     runner = Runner(spark, args.input, args.out, args.run_id,
-                    buckets=args.buckets, artifact=args.artifact)
+                    buckets=args.buckets, artifact=args.artifact,
+                    cc_checkpoint_every=args.cc_checkpoint_every)
     events = runner.run(upto=args.stop_after, only=only)
     report = {
         "run_id": args.run_id,

@@ -464,7 +464,13 @@ def link(mentions: DataFrame, dict_df: DataFrame):
 # --- canon ------------------------------------------------------------------
 
 
-def connected_components(nodes: DataFrame, lsh_edges: DataFrame) -> DataFrame:
+CC_STATE_TABLE = "cc_state"
+
+
+def connected_components(nodes: DataFrame, lsh_edges: DataFrame,
+                         state_io=None, state_fp: str | None = None,
+                         checkpoint_every: int = 5,
+                         max_iters: int = CC_MAX_ITERS) -> DataFrame:
     """Min-label propagation + pointer doubling over iterative
     DataFrame joins; localCheckpoint each iteration cuts the lineage
     (SURVEY §4). Returns (node_id, label).
@@ -474,13 +480,31 @@ def connected_components(nodes: DataFrame, lsh_edges: DataFrame) -> DataFrame:
     label(label(v)) — so convergence is O(log diameter), not
     O(diameter): a 10^5-hop alias chain converges in ~17 rounds where
     plain propagation would need 10^5. Labels are always existing
-    node ids (min over ids), so the jump lookup always hits."""
-    labels = (
-        nodes.select("node_id")
-        .distinct()
-        .withColumn("label", F.col("node_id"))
-        .localCheckpoint()
-    )
+    node ids (min over ids), so the jump lookup always hits.
+
+    Reliability: localCheckpoint is EXECUTOR-LOCAL storage — on a real
+    cluster an executor loss mid-loop makes the lineage unrecoverable.
+    Pass `state_io` (a TableIO) to additionally commit the label table
+    through the warehouse every `checkpoint_every` iterations, tagged
+    with `state_fp`; a rerun with the same (io, fp) RESUMES from the
+    last committed iteration (tested by killing a run mid-loop in
+    tests/test_cc_checkpoint.py). The warehouse write doubles as a
+    durable lineage cut for that iteration."""
+    spark = nodes.sparkSession
+    start_iter = 0
+    labels = None
+    if state_io is not None and state_io.is_complete(CC_STATE_TABLE,
+                                                     state_fp):
+        man = state_io.manifest(CC_STATE_TABLE)
+        start_iter = int(man.get("cc_iter", -1)) + 1
+        labels = state_io.read(spark, CC_STATE_TABLE)
+    if labels is None:
+        labels = (
+            nodes.select("node_id")
+            .distinct()
+            .withColumn("label", F.col("node_id"))
+            .localCheckpoint()
+        )
     sym = (
         lsh_edges.select("src", "dst")
         .unionByName(
@@ -492,7 +516,7 @@ def connected_components(nodes: DataFrame, lsh_edges: DataFrame) -> DataFrame:
     )
     if sym.isEmpty():
         return labels
-    for _ in range(CC_MAX_ITERS):
+    for it in range(start_iter, max_iters):
         nbr = (
             sym.join(labels, sym.src == labels.node_id)
             .groupBy("dst")
@@ -530,7 +554,16 @@ def connected_components(nodes: DataFrame, lsh_edges: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             return labels
-    raise RuntimeError(f"CC did not converge in {CC_MAX_ITERS} iterations")
+        if (
+            state_io is not None
+            and checkpoint_every
+            and (it + 1) % checkpoint_every == 0
+        ):
+            state_io.write(labels, CC_STATE_TABLE,
+                           inputs_fingerprint=state_fp,
+                           extra={"cc_iter": it})
+            labels = state_io.read(spark, CC_STATE_TABLE)
+    raise RuntimeError(f"CC did not converge in {max_iters} iterations")
 
 
 SALT_K = 16
