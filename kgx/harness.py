@@ -2076,6 +2076,52 @@ def stream_windowed_counts(spark, sf):
     return spark.table("harness_stream_counts")
 
 
+@op("stream_incremental_canon", None)
+def stream_incremental_canon(spark, sf):
+    """Streaming incremental link/canon (B.9): fixture transcripts
+    arrive as TWO files -> two micro-batches; each batch's new nodes
+    are diffed in, LSH edges generated new-x-all only, and connected
+    components re-solved seeded with the previous labels. Returns the
+    final canonical vertices (equality with the batch pipeline is
+    pytest-gated in tests/test_streaming_canon.py)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from kgx.spark import stages, streaming
+    from kgx.spark.io import TableIO
+    from kgx.spark.udfs import make_tagger_spans_udf
+    from kgx.tagcore import TaggerArtifact
+
+    fx = _fixture_dir()
+    udf = make_tagger_spans_udf(
+        spark, TaggerArtifact.load(os.path.join(fx, "tagger_v1.npz")))
+    dict_df = stages.dict_latest(
+        spark.read.parquet(os.path.join(fx, "alias_dict.parquet")))
+    tbl = pq.read_table(os.path.join(fx, "transcripts.parquet"))
+    # first 20 convs, split into two arrival files
+    tbl = tbl.filter(pc.less(tbl["conv_id"], "c000020"))
+    with tempfile.TemporaryDirectory(prefix="kgx_inc_canon_") as tmp:
+        arrivals = os.path.join(tmp, "arrivals")
+        os.makedirs(arrivals)
+        pq.write_table(tbl.filter(pc.less(tbl["conv_id"], "c000010")),
+                       os.path.join(arrivals, "a.parquet"))
+        pq.write_table(
+            tbl.filter(pc.greater_equal(tbl["conv_id"], "c000010")),
+            os.path.join(arrivals, "b.parquet"))
+        wh = os.path.join(tmp, "wh")
+        streaming.run_incremental_canon(
+            spark, arrivals, os.path.join(tmp, "ckpt"), wh, udf,
+            dict_df, max_files_per_trigger=1)
+        out = (
+            TableIO(wh).read(spark, "cc_vertices")
+            .withColumn("aliases", F.concat_ws(",", "aliases"))
+        )
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
 @op("mm_frame_sample", None)
 def mm_frame_sample(spark, sf):
     """Multimodal video plumbing: binary payload + typed metadata
@@ -2248,11 +2294,12 @@ _CHECK_FIRST = [
     # eval
     "eval_triple_prf", "eval_conlleval", "eval_scaling",
     # streaming + session windows
-    "stream_windowed_counts", "win_session_window",
+    "stream_windowed_counts", "stream_incremental_canon",
+    "win_session_window",
     # one representative per relational family
     "join_broadcast_hash", "join_salted_equi", "join_asof",
     "agg_hash_count", "agg_two_phase_salted", "win_row_number",
-    "sort_limit_topk", "set_union_byname", "fn_string",
+    "sort_limit_topk", "set_union_byname",
 ]
 
 

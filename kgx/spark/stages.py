@@ -402,6 +402,54 @@ def link_lsh_edges(nodes: DataFrame) -> DataFrame:
     )
 
 
+def link_lsh_edges_incremental(new_nodes: DataFrame,
+                               all_nodes: DataFrame) -> DataFrame:
+    """Incremental LSH edges: candidate pairs touching at least one
+    NEW node (new x all banded equi-join — the cost is proportional to
+    the micro-batch, not the accumulated node table), verified by the
+    same exact bigram Jaccard. Pairs are normalized to the batch
+    convention (norm_a < norm_b), so union with the previous edge
+    table reproduces exactly the edge set a cold batch run would
+    build (asserted in tests/test_streaming_canon.py)."""
+    def banded(df):
+        return df.select("etype", "norm", "node_id").withColumn(
+            "sig", minhash_sig("norm")
+        ).select(
+            "etype", "norm", "node_id",
+            F.explode(band_key_cols()).alias("bk"),
+        )
+
+    a = banded(new_nodes).alias("a")
+    b = banded(all_nodes).alias("b")
+    swap = F.col("a.norm") > F.col("b.norm")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.etype") == F.col("b.etype"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.norm") != F.col("b.norm")),
+        )
+        .select(
+            F.when(swap, F.col("b.node_id")).otherwise(F.col("a.node_id"))
+            .alias("src"),
+            F.when(swap, F.col("a.node_id")).otherwise(F.col("b.node_id"))
+            .alias("dst"),
+            F.when(swap, F.col("b.norm")).otherwise(F.col("a.norm"))
+            .alias("norm_a"),
+            F.when(swap, F.col("a.norm")).otherwise(F.col("b.norm"))
+            .alias("norm_b"),
+        )
+        .dropDuplicates(["src", "dst", "norm_a", "norm_b"])
+    )
+    return (
+        cand.withColumn("sim", jaccard_udf("norm_a", "norm_b"))
+        .where(F.col("sim") >= F.lit(JACCARD_TAU))
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", "sim")
+        .dropDuplicates(["src", "dst"])
+    )
+
+
 def link_links(mentions: DataFrame, dict_df: DataFrame,
                lsh_edges: DataFrame) -> DataFrame:
     """Per-mention link rows (exact broadcast hit, LSH-supported, or
@@ -470,7 +518,8 @@ CC_STATE_TABLE = "cc_state"
 def connected_components(nodes: DataFrame, lsh_edges: DataFrame,
                          state_io=None, state_fp: str | None = None,
                          checkpoint_every: int = 5,
-                         max_iters: int = CC_MAX_ITERS) -> DataFrame:
+                         max_iters: int = CC_MAX_ITERS,
+                         labels0: DataFrame | None = None) -> DataFrame:
     """Min-label propagation + pointer doubling over iterative
     DataFrame joins; localCheckpoint each iteration cuts the lineage
     (SURVEY §4). Returns (node_id, label).
@@ -489,7 +538,14 @@ def connected_components(nodes: DataFrame, lsh_edges: DataFrame,
     with `state_fp`; a rerun with the same (io, fp) RESUMES from the
     last committed iteration (tested by killing a run mid-loop in
     tests/test_cc_checkpoint.py). The warehouse write doubles as a
-    durable lineage cut for that iteration."""
+    durable lineage cut for that iteration.
+
+    Incremental mode: pass `labels0` (node_id, label) to SEED the
+    propagation — e.g. the previous micro-batch's converged labels
+    plus identity rows for new nodes (streaming incremental canon).
+    Min-label propagation from any per-component-consistent seed
+    converges to the same min(node_id) per component as a cold start,
+    but in rounds proportional to the CHANGED region only."""
     spark = nodes.sparkSession
     start_iter = 0
     labels = None
@@ -498,6 +554,8 @@ def connected_components(nodes: DataFrame, lsh_edges: DataFrame,
         man = state_io.manifest(CC_STATE_TABLE)
         start_iter = int(man.get("cc_iter", -1)) + 1
         labels = state_io.read(spark, CC_STATE_TABLE)
+    if labels is None and labels0 is not None:
+        labels = labels0.select("node_id", "label").localCheckpoint()
     if labels is None:
         labels = (
             nodes.select("node_id")

@@ -109,6 +109,92 @@ def run_available_now(query_df: DataFrame, checkpoint_dir: str,
     return q
 
 
+def incremental_canon_updater(spark: SparkSession, warehouse: str,
+                              dict_df: DataFrame):
+    """foreachBatch sink that streams the KG GRAPH forward: each
+    micro-batch of mentions is merged into the accumulated canonical
+    node state (B.9 'incremental link/canon').
+
+    Per batch: new (etype, norm) nodes are diffed against the node
+    table; LSH candidate edges are generated ONLY for new x all (cost
+    proportional to the batch, not history); connected components are
+    re-solved SEEDED with the previous converged labels plus identity
+    rows for new nodes — min-label propagation from a consistent seed
+    reaches the same fixpoint as a cold start but in rounds
+    proportional to the changed region. State lives in versioned
+    TableIO snapshots (lazily-read previous versions stay valid while
+    the new one is written), so the stream is restart-safe alongside
+    the source checkpoint. Final (entity_map, cc_vertices) equal the
+    batch pipeline's on the same data — tests/test_streaming_canon.py."""
+    from kgx.spark.io import TableIO
+
+    io = TableIO(warehouse)
+
+    def update(mentions_batch: DataFrame, batch_id: int) -> None:
+        if mentions_batch.isEmpty():
+            return
+        nodes_b = stages.link_nodes(mentions_batch, dict_df)
+        if io.manifest("nodes") is not None:
+            nodes_prev = io.read(spark, "nodes")
+            edges_prev = io.read(spark, "lsh_edges")
+            labels_prev = io.read(spark, "cc_labels")
+            new_only = nodes_b.join(
+                nodes_prev.select("node_id"), "node_id", "left_anti"
+            ).dropDuplicates(["node_id"])
+            nodes_all = nodes_prev.unionByName(new_only)
+            lsh_new = stages.link_lsh_edges_incremental(new_only,
+                                                        nodes_all)
+            edges_all = edges_prev.unionByName(lsh_new).dropDuplicates(
+                ["src", "dst"]
+            )
+            labels0 = labels_prev.unionByName(
+                new_only.select(
+                    "node_id", F.col("node_id").alias("label")
+                )
+            )
+        else:
+            nodes_all = nodes_b
+            edges_all = stages.link_lsh_edges(nodes_all)
+            labels0 = None
+        io.write(nodes_all, "nodes")
+        nodes_all = io.read(spark, "nodes")
+        io.write(edges_all, "lsh_edges")
+        edges_all = io.read(spark, "lsh_edges")
+        labels = stages.connected_components(nodes_all, edges_all,
+                                             labels0=labels0)
+        io.write(labels, "cc_labels")
+        labels = io.read(spark, "cc_labels")
+        entity_map, cc_vertices = stages.canonicalize(nodes_all, labels)
+        io.write(entity_map, "entity_map")
+        io.write(cc_vertices, "cc_vertices")
+
+    return update
+
+
+def run_incremental_canon(spark: SparkSession, arrivals_dir: str,
+                          checkpoint_dir: str, warehouse: str,
+                          tag_spans_udf, dict_df: DataFrame,
+                          max_files_per_trigger: int = 1):
+    """Drain currently-available transcript files through the
+    incremental link/canon path (Trigger.AvailableNow); restarting
+    with the same checkpoint processes only files that arrived in
+    between, merging them into the same warehouse state."""
+    turns = stream_transcripts(
+        spark, arrivals_dir,
+        max_files_per_trigger=max_files_per_trigger)
+    mentions = stream_mentions(turns, tag_spans_udf)
+    q = (
+        mentions.writeStream
+        .foreachBatch(incremental_canon_updater(spark, warehouse,
+                                                dict_df))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def conv_state_tracker(turns: DataFrame, timeout_ms: int = 0) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-conversation running summary (turns seen, chars, roles, last
