@@ -30,6 +30,8 @@ BENCH_FIXTURE = os.path.join(REPO, "fixtures", "bench")
 # headline harness ops: heavy, scale-relevant, one per family
 HEADLINE = [
     "dedup_minhash_lsh",       # shingle->minhash->band->self-join
+    "dedup_simhash",           # multi-band simhash + hamming verify
+    "dedup_embedding_cosine",  # hyperplane-LSH-blocked cosine dedup
     "dedup_exact",             # hash groupBy over documents
     "ann_cosine_topk",         # brute-force cosine top-k (embeddings)
     "graph_connected_components",  # iterative joins

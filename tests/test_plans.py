@@ -99,6 +99,24 @@ def test_extract_is_shuffle_lean(spark, t1_dir):
     assert plan.count("SortMergeJoin") == 0, plan
 
 
+def test_dedup_plans_have_no_all_pairs_join(spark):
+    """Every LSH-blocked dedup op must block through equi-joins only —
+    a CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan
+    means an O(n^2) stage is back."""
+    from kgx.harness import (
+        dedup_embedding_cosine,
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+        dedup_simhash,
+    )
+
+    for op in (dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
+               dedup_embedding_cosine):
+        plan = plan_of(op(spark, SF))
+        assert "CartesianProduct" not in plan, op.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, op.__name__
+
+
 def test_no_row_python_udf_in_engine():
     """SURVEY §4 mandate: zero row-at-a-time Python UDFs in kgx — only
     Arrow-vectorized pandas UDFs / applyInPandas / mapInPandas."""
