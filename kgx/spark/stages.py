@@ -574,6 +574,8 @@ def connected_components(nodes: DataFrame, lsh_edges: DataFrame,
     )
     if sym.isEmpty():
         return labels
+    from pyspark.sql import Observation
+
     for it in range(start_iter, max_iters):
         nbr = (
             sym.join(labels, sym.src == labels.node_id)
@@ -582,6 +584,7 @@ def connected_components(nodes: DataFrame, lsh_edges: DataFrame,
         )
         stepped = labels.join(nbr, labels.node_id == nbr.dst, "left").select(
             "node_id",
+            F.col("label").alias("old_label"),
             F.least(
                 F.col("label"),
                 F.coalesce(F.col("nbr_label"), F.col("label")),
@@ -592,24 +595,32 @@ def connected_components(nodes: DataFrame, lsh_edges: DataFrame,
             F.col("node_id").alias("l_node"),
             F.col("label").alias("l_label"),
         )
+        # convergence check rides the SAME job as the checkpoint: the
+        # previous label is carried as a column and the changed count
+        # is an observe() metric collected while localCheckpoint
+        # materializes — no separate join+count job per iteration
+        # (halves Spark jobs across the loop).
+        obs = Observation(f"cc_changed_{it}")
         new_labels = (
             stepped.join(lookup, stepped.label == lookup.l_node, "left")
             .select(
                 "node_id",
+                "old_label",
                 F.least(
                     F.col("label"),
                     F.coalesce(F.col("l_label"), F.col("label")),
                 ).alias("label"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("label") != F.col("old_label")).cast("long")
+                ).alias("changed"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = int(obs.get["changed"] or 0)
+        labels = new_labels.select("node_id", "label")
         if changed == 0:
             return labels
         if (

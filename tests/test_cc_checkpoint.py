@@ -55,6 +55,31 @@ def test_cc_resumes_from_committed_iteration(spark, chain, tmp_path):
     assert io.manifest(CC_STATE_TABLE)["cc_iter"] > 1  # advanced
 
 
+def test_cc_one_action_per_iteration(spark, chain):
+    """The convergence check must ride the iteration's checkpoint job
+    (observe metric on the carried old_label column), not run as a
+    separate join+count action — at 25-iteration ceilings the old
+    two-actions-per-iteration shape cost 25 extra full-label joins.
+
+    With AQE off, every action is exactly one job: 2 init checkpoints
+    + 1 isEmpty + k iterations x 1. The 64-chain converges in 7
+    pointer-doubling rounds -> 10 jobs; the two-action shape would be
+    17."""
+    nodes, edges = chain
+    sc = spark.sparkContext
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc.setJobGroup("cc-jobcount", "cc")
+        labels = connected_components(nodes, edges)
+        sc.setJobGroup(None, None)
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("cc-jobcount"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert {r["label"] for r in labels.collect()} == {"000"}
+    assert n_jobs <= 12, f"{n_jobs} jobs: convergence check not folded"
+
+
 def test_cc_ignores_stale_state(spark, chain, tmp_path):
     """State committed under a DIFFERENT inputs fingerprint must not
     be resumed from (the nodes/edges changed)."""
