@@ -16,6 +16,7 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class TableIO:
@@ -109,13 +110,161 @@ class TableIO:
         self.expire_snapshots(table, keep=self.KEEP_SNAPSHOTS)
         return manifest
 
-    def expire_snapshots(self, table: str, keep: int = 2) -> None:
-        """Drop snapshot data dirs older than the newest `keep`
-        (manifest history rows are retained)."""
+    # -- append-log tables (Iceberg-style delta segments) ---------------
+
+    def append(
+        self,
+        df: DataFrame,
+        table: str,
+        log_keys: list[str] | None = None,
+        batch_tag: str | None = None,
+        deletes: DataFrame | None = None,
+    ) -> dict:
+        """Append a DELTA segment to a log table — per-call IO is
+        proportional to the delta, never to accumulated state (the
+        streaming incremental-canon requirement).
+
+        Without `log_keys` the table is a pure append log: read() is
+        the union of all segments. With `log_keys` it is an upsert log:
+        read() resolves latest-wins per key across segments, and
+        `deletes` rows (same key columns) tombstone keys that no
+        longer exist (a merged-away canonical vertex).
+
+        `batch_tag` marks every segment written for one source batch so
+        a crashed half-applied batch can be rolled back exactly with
+        prune_batch() before replay (exactly-once on top of an
+        at-least-once foreachBatch)."""
+        prev = self.manifest(table)
+        if prev is not None and prev.get("kind") != "log":
+            raise ValueError(f"{table} is not a log table")
+        if prev is not None and prev.get("log_keys") != (log_keys or []):
+            raise ValueError(f"{table}: log_keys mismatch")
+        version = (prev["version"] + 1) if prev else 1
+        seg = df.withColumn("_del", F.lit(False))
+        if deletes is not None:
+            if not log_keys:
+                raise ValueError("deletes require log_keys")
+            null_cols = [
+                F.lit(None).cast(df.schema[c].dataType).alias(c)
+                for c in df.columns
+                if c not in log_keys
+            ]
+            seg = seg.unionByName(
+                deletes.select(*log_keys, *null_cols)
+                .withColumn("_del", F.lit(True))
+            )
+        seg = seg.withColumn("_seg", F.lit(version))
+        seg.write.mode("overwrite").parquet(self.path(table, version))
+        stats = self.file_stats(table, version)
+        rows = sum(r for _, r, _ in stats)
+        nbytes = sum(b for _, _, b in stats)
+        segments = list(prev.get("segments", [])) if prev else []
+        segments.append(
+            {"version": version, "rows": rows, "bytes": nbytes,
+             "batch_tag": batch_tag}
+        )
+        manifest = {
+            "table": table,
+            "complete": True,
+            "kind": "log",
+            "version": version,
+            "rows": sum(s["rows"] for s in segments),
+            "log_keys": log_keys or [],
+            "schema": df.schema.jsonValue(),
+            "segments": segments,
+        }
+        with open(self.manifest_path(table), "w") as f:
+            json.dump(manifest, f, indent=2)
+        return manifest
+
+    def prune_batch(self, table: str, batch_tag: str) -> int:
+        """Drop every segment written under `batch_tag` (crash
+        rollback for a half-applied batch). Returns segments dropped."""
         import shutil
 
         m = self.manifest(table)
-        if not m or "version" not in m:
+        if not m or m.get("kind") != "log":
+            return 0
+        keep = [s for s in m["segments"] if s.get("batch_tag") != batch_tag]
+        dropped = [s for s in m["segments"] if s.get("batch_tag") == batch_tag]
+        for s in dropped:
+            shutil.rmtree(
+                os.path.join(self.table_dir(table), f"_v{s['version']}"),
+                ignore_errors=True,
+            )
+        if not keep:
+            os.remove(self.manifest_path(table))
+            return len(dropped)
+        m["segments"] = keep
+        m["version"] = keep[-1]["version"]
+        m["rows"] = sum(s["rows"] for s in keep)
+        with open(self.manifest_path(table), "w") as f:
+            json.dump(m, f, indent=2)
+        return len(dropped)
+
+    def compact(self, spark: SparkSession, table: str) -> dict:
+        """Minor compaction: rewrite the table's RESOLVED view as a
+        single fresh segment and drop the old ones. Cost is O(state),
+        so callers amortize it (every K batches) — per-batch appends
+        stay O(batch) and reads stay bounded at K segments."""
+        import shutil
+
+        m = self.manifest(table)
+        if not m or m.get("kind") != "log":
+            raise ValueError(f"{table} is not a log table")
+        merged = self.read(spark, table).localCheckpoint()
+        old = list(m["segments"])
+        version = m["version"] + 1
+        seg = merged.withColumn("_del", F.lit(False)).withColumn(
+            "_seg", F.lit(version)
+        )
+        seg.write.mode("overwrite").parquet(self.path(table, version))
+        stats = self.file_stats(table, version)
+        m["segments"] = [
+            {"version": version,
+             "rows": sum(r for _, r, _ in stats),
+             "bytes": sum(b for _, _, b in stats),
+             "batch_tag": None}
+        ]
+        m["version"] = version
+        m["rows"] = m["segments"][0]["rows"]
+        with open(self.manifest_path(table), "w") as f:
+            json.dump(m, f, indent=2)
+        for s in old:
+            shutil.rmtree(
+                os.path.join(self.table_dir(table), f"_v{s['version']}"),
+                ignore_errors=True,
+            )
+        return m
+
+    def _read_log(self, spark: SparkSession, table: str,
+                  m: dict) -> DataFrame:
+        paths = [
+            os.path.join(self.table_dir(table), f"_v{s['version']}")
+            for s in m["segments"]
+        ]
+        df = spark.read.parquet(*paths)
+        keys = m.get("log_keys") or []
+        if keys:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(F.desc("_seg"))
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .where(~F.col("_del"))
+                .drop("_rn")
+            )
+        return df.drop("_seg", "_del")
+
+    def expire_snapshots(self, table: str, keep: int = 2) -> None:
+        """Drop snapshot data dirs older than the newest `keep`
+        (manifest history rows are retained). Log tables keep all
+        their segments (compact() bounds them instead)."""
+        import shutil
+
+        m = self.manifest(table)
+        if not m or "version" not in m or m.get("kind") == "log":
             return
         cur = m["version"]
         base = self.table_dir(table)
@@ -154,7 +303,12 @@ class TableIO:
 
     def read(self, spark: SparkSession, table: str,
              version: int | None = None) -> DataFrame:
-        """Read the current snapshot, or time-travel to `version`."""
+        """Read the current snapshot, or time-travel to `version`.
+        Log tables resolve to their merged view (union of segments;
+        latest-wins per key + tombstone filter when keyed)."""
+        m = self.manifest(table)
+        if m is not None and m.get("kind") == "log" and version is None:
+            return self._read_log(spark, table, m)
         return spark.read.parquet(self.path(table, version))
 
     def manifest(self, table: str) -> dict | None:

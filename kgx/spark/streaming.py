@@ -109,64 +109,209 @@ def run_available_now(query_df: DataFrame, checkpoint_dir: str,
     return q
 
 
+CANON_TABLES = ("nodes", "lsh_edges", "cc_labels", "entity_map",
+                "cc_vertices")
+
+
+def _canon_marker_path(io) -> str:
+    import os
+
+    return os.path.join(io.warehouse, "_canon_commit.json")
+
+
+def canon_last_applied(io) -> int:
+    """Highest fully-committed micro-batch id (-1 before any)."""
+    import json
+    import os
+
+    p = _canon_marker_path(io)
+    if not os.path.exists(p):
+        return -1
+    with open(p) as f:
+        return int(json.load(f)["batch_id"])
+
+
+def _canon_mark_applied(io, batch_id: int) -> None:
+    import json
+    import os
+
+    tmp = _canon_marker_path(io) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"batch_id": batch_id}, f)
+    os.replace(tmp, _canon_marker_path(io))
+
+
 def incremental_canon_updater(spark: SparkSession, warehouse: str,
-                              dict_df: DataFrame):
+                              dict_df: DataFrame, compact_every: int = 0):
     """foreachBatch sink that streams the KG GRAPH forward: each
     micro-batch of mentions is merged into the accumulated canonical
     node state (B.9 'incremental link/canon').
 
-    Per batch: new (etype, norm) nodes are diffed against the node
-    table; LSH candidate edges are generated ONLY for new x all (cost
-    proportional to the batch, not history); connected components are
-    re-solved SEEDED with the previous converged labels plus identity
-    rows for new nodes — min-label propagation from a consistent seed
-    reaches the same fixpoint as a cold start but in rounds
-    proportional to the changed region. State lives in versioned
-    TableIO snapshots (lazily-read previous versions stay valid while
-    the new one is written), so the stream is restart-safe alongside
-    the source checkpoint. Final (entity_map, cc_vertices) equal the
-    batch pipeline's on the same data — tests/test_streaming_canon.py."""
+    Per-batch COMPUTE and IO are both proportional to the batch, not
+    to accumulated history:
+
+    * new (etype, norm) nodes are diffed against the node log and only
+      the delta segment is appended (TableIO.append);
+    * LSH candidate edges are generated only for new x all and
+      appended (an edge needs >=1 new endpoint, so no old pair can
+      reappear — append needs no global dedup);
+    * connected components run on the CONDENSED graph — nodes = old
+      component labels + new node ids, edges = the new LSH edges with
+      endpoints mapped through the previous labels. An old label is
+      the min id of its component, so the condensed component minimum
+      IS the full-graph component minimum; the CC input is
+      batch-sized, never corpus-sized;
+    * only labels that actually changed (merged components + new
+      nodes) are appended to the keyed cc_labels log (latest-wins on
+      read), and entity_map / cc_vertices are recomputed only for the
+      affected components, with tombstones for canonical vertices that
+      merged away.
+
+    Restart safety (exactly-once on an at-least-once foreachBatch):
+    every segment written for a batch carries a batch tag, and a
+    commit marker records the last FULLY applied batch, written only
+    after all five tables' deltas landed. A replayed batch id at or
+    below the marker is a no-op; a half-applied batch (crash between
+    table commits) is rolled back segment-exactly with prune_batch()
+    before the replay recomputes it. Final (entity_map, cc_vertices)
+    equal the batch pipeline's on the same data, and per-batch write
+    volume is asserted O(batch) — tests/test_streaming_canon.py.
+
+    `compact_every` > 0 compacts the logs every K batches (O(state)
+    amortized over K; bounds read fan-in on a long-running stream)."""
     from kgx.spark.io import TableIO
 
     io = TableIO(warehouse)
 
     def update(mentions_batch: DataFrame, batch_id: int) -> None:
+        applied = canon_last_applied(io)
+        if batch_id <= applied:
+            return  # replay of a fully-committed batch: no-op
+        tag = f"b{batch_id}"
+        for tbl in CANON_TABLES:
+            io.prune_batch(tbl, tag)  # roll back a crashed half-apply
         if mentions_batch.isEmpty():
+            _canon_mark_applied(io, batch_id)
             return
         nodes_b = stages.link_nodes(mentions_batch, dict_df)
-        if io.manifest("nodes") is not None:
-            nodes_prev = io.read(spark, "nodes")
-            edges_prev = io.read(spark, "lsh_edges")
-            labels_prev = io.read(spark, "cc_labels")
-            new_only = nodes_b.join(
-                nodes_prev.select("node_id"), "node_id", "left_anti"
-            ).dropDuplicates(["node_id"])
-            nodes_all = nodes_prev.unionByName(new_only)
-            lsh_new = stages.link_lsh_edges_incremental(new_only,
-                                                        nodes_all)
-            edges_all = edges_prev.unionByName(lsh_new).dropDuplicates(
-                ["src", "dst"]
-            )
-            labels0 = labels_prev.unionByName(
-                new_only.select(
-                    "node_id", F.col("node_id").alias("label")
-                )
-            )
-        else:
-            nodes_all = nodes_b
-            edges_all = stages.link_lsh_edges(nodes_all)
-            labels0 = None
-        io.write(nodes_all, "nodes")
+
+        if applied < 0:
+            # cold start: first batch seeds the logs (a node row is
+            # one (node_id, norm) alias — never dedup by node_id
+            # alone, a dict entity keeps one row per alias)
+            io.append(nodes_b.dropDuplicates(["node_id", "norm"]),
+                      "nodes", batch_tag=tag)
+            nodes0 = io.read(spark, "nodes")
+            io.append(stages.link_lsh_edges(nodes0), "lsh_edges",
+                      batch_tag=tag)
+            edges0 = io.read(spark, "lsh_edges")
+            labels = stages.connected_components(nodes0, edges0)
+            io.append(labels, "cc_labels", log_keys=["node_id"],
+                      batch_tag=tag)
+            labels = io.read(spark, "cc_labels")
+            entity_map, cc_vertices = stages.canonicalize(nodes0, labels)
+            io.append(entity_map, "entity_map", log_keys=["node_id"],
+                      batch_tag=tag)
+            io.append(cc_vertices, "cc_vertices",
+                      log_keys=["entity_id"], batch_tag=tag)
+            _canon_mark_applied(io, batch_id)
+            return
+
+        # pre-batch state: _read_log pins segment paths at read() time,
+        # so these stay consistent across the appends below
+        nodes_prev = io.read(spark, "nodes")
+        labels_prev = io.read(spark, "cc_labels")
+        new_only = (
+            nodes_b.join(nodes_prev.select("node_id"), "node_id",
+                         "left_anti")
+            .dropDuplicates(["node_id", "norm"])
+            .localCheckpoint()
+        )
+        if new_only.isEmpty():
+            _canon_mark_applied(io, batch_id)
+            return
+        io.append(new_only, "nodes", batch_tag=tag)
         nodes_all = io.read(spark, "nodes")
-        io.write(edges_all, "lsh_edges")
-        edges_all = io.read(spark, "lsh_edges")
-        labels = stages.connected_components(nodes_all, edges_all,
-                                             labels0=labels0)
-        io.write(labels, "cc_labels")
-        labels = io.read(spark, "cc_labels")
-        entity_map, cc_vertices = stages.canonicalize(nodes_all, labels)
-        io.write(entity_map, "entity_map")
-        io.write(cc_vertices, "cc_vertices")
+        lsh_new = stages.link_lsh_edges_incremental(
+            new_only, nodes_all
+        ).localCheckpoint()
+        io.append(lsh_new.select("src", "dst", "sim"), "lsh_edges",
+                  batch_tag=tag)
+
+        # condensed graph: endpoints -> previous component labels
+        # (new nodes map to themselves); CC over it is batch-sized
+        lab_src = labels_prev.select(
+            F.col("node_id").alias("src"), F.col("label").alias("ls"))
+        lab_dst = labels_prev.select(
+            F.col("node_id").alias("dst"), F.col("label").alias("ld"))
+        cedges = (
+            lsh_new.select("src", "dst")
+            .join(lab_src, "src", "left")
+            .join(lab_dst, "dst", "left")
+            .select(
+                F.coalesce("ls", F.col("src")).alias("src"),
+                F.coalesce("ld", F.col("dst")).alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+        cnodes = (
+            cedges.select(F.col("src").alias("node_id"))
+            .unionByName(cedges.select(F.col("dst").alias("node_id")))
+            .unionByName(new_only.select("node_id"))
+            .distinct()
+        )
+        clabels = stages.connected_components(
+            cnodes, cedges.withColumn("sim", F.lit(1.0)))
+        changed = clabels.where(F.col("node_id") != F.col("label"))
+
+        # delta labels: existing nodes in re-labeled components + new
+        # nodes (coalesce-to-self covers isolated new nodes)
+        delta_old = labels_prev.join(
+            changed.select(F.col("node_id").alias("label"),
+                           F.col("label").alias("nl")),
+            "label",
+        ).select("node_id", F.col("nl").alias("label"))
+        delta_new = (
+            new_only.select("node_id")
+            .join(clabels, "node_id", "left")
+            .select("node_id",
+                    F.coalesce("label", F.col("node_id")).alias("label"))
+        )
+        delta_labels = delta_old.unionByName(delta_new).localCheckpoint()
+
+        # affected components, before and after this batch
+        aff_new = delta_labels.select("label").distinct()
+        aff_prev = (
+            labels_prev.join(delta_old.select("node_id"), "node_id",
+                             "left_semi")
+            .select("label")
+            .unionByName(
+                labels_prev.select("label").join(aff_new, "label",
+                                                 "left_semi")
+            )
+            .distinct()
+        )
+        prev_members = labels_prev.join(aff_prev, "label", "left_semi")
+        _, prev_cv = stages.canonicalize(nodes_prev, prev_members)
+        prev_canon = prev_cv.select("entity_id").localCheckpoint()
+
+        io.append(delta_labels, "cc_labels", log_keys=["node_id"],
+                  batch_tag=tag)
+        labels_now = io.read(spark, "cc_labels")
+        members_now = labels_now.join(aff_new, "label", "left_semi")
+        em_delta, cv_delta = stages.canonicalize(nodes_all, members_now)
+        cv_delta = cv_delta.localCheckpoint()
+        tombstones = prev_canon.join(cv_delta.select("entity_id"),
+                                     "entity_id", "left_anti")
+        io.append(em_delta, "entity_map", log_keys=["node_id"],
+                  batch_tag=tag)
+        io.append(cv_delta, "cc_vertices", log_keys=["entity_id"],
+                  batch_tag=tag, deletes=tombstones)
+        _canon_mark_applied(io, batch_id)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            for tbl in CANON_TABLES:
+                io.compact(spark, tbl)
 
     return update
 
@@ -174,7 +319,8 @@ def incremental_canon_updater(spark: SparkSession, warehouse: str,
 def run_incremental_canon(spark: SparkSession, arrivals_dir: str,
                           checkpoint_dir: str, warehouse: str,
                           tag_spans_udf, dict_df: DataFrame,
-                          max_files_per_trigger: int = 1):
+                          max_files_per_trigger: int = 1,
+                          compact_every: int = 0):
     """Drain currently-available transcript files through the
     incremental link/canon path (Trigger.AvailableNow); restarting
     with the same checkpoint processes only files that arrived in
@@ -185,8 +331,8 @@ def run_incremental_canon(spark: SparkSession, arrivals_dir: str,
     mentions = stream_mentions(turns, tag_spans_udf)
     q = (
         mentions.writeStream
-        .foreachBatch(incremental_canon_updater(spark, warehouse,
-                                                dict_df))
+        .foreachBatch(incremental_canon_updater(
+            spark, warehouse, dict_df, compact_every=compact_every))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -7,6 +7,7 @@ import os
 
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+import pytest
 
 from kgx import oracle
 from kgx.spark import stages, streaming
@@ -81,3 +82,122 @@ def test_incremental_canon_equals_batch(spark, t1_dir, tmp_path):
         (r["src"], r["dst"]) for r in batch["lsh_edges"].collect()
     }
     assert got_e == want_e
+
+    # per-batch write volume is O(batch), not O(history): the node log
+    # never rewrites a node (segment rows sum to the state size), and
+    # the second batch's label/map/vertex deltas are strictly smaller
+    # than the accumulated state they'd have rewritten under the old
+    # full-state-per-batch scheme
+    nseg = io.manifest("nodes")["segments"]
+    assert len(nseg) >= 2
+    assert sum(s["rows"] for s in nseg) == io.read(
+        spark, "nodes").count()
+    for tbl in ("cc_labels", "entity_map", "cc_vertices"):
+        segs = io.manifest(tbl)["segments"]
+        state_rows = io.read(spark, tbl).count()
+        assert segs[-1]["rows"] < state_rows, (
+            f"{tbl}: batch-2 delta ({segs[-1]['rows']} rows) not "
+            f"smaller than state ({state_rows} rows) — full rewrite?")
+
+    # compaction folds the logs back to one segment per table without
+    # changing the resolved view
+    for tbl in ("nodes", "lsh_edges", "cc_labels", "entity_map",
+                "cc_vertices"):
+        io.compact(spark, tbl)
+        assert len(io.manifest(tbl)["segments"]) == 1
+    assert {
+        (r["node_id"], r["canonical_id"])
+        for r in io.read(spark, "entity_map").collect()
+    } == want_map
+
+
+def _mentions_of(spark, t1_dir, pred):
+    from pyspark.sql import functions as F
+
+    from kgx.spark.udfs import make_tagger_spans_udf
+
+    udf = make_tagger_spans_udf(
+        spark, TaggerArtifact.load(f"{t1_dir}/tagger_v1.npz")
+    )
+    turns = (
+        spark.read.parquet(f"{t1_dir}/transcripts.parquet")
+        .where(F.col("text").isNotNull()
+               & (F.length(F.trim("text")) > 0))
+        .where(pred)
+    )
+    tagged = stages.tag_spans(turns, udf)
+    return tagged.select(
+        "conv_id", "turn_idx", "ts", F.explode("spans").alias("sp")
+    ).select(
+        "conv_id", "turn_idx", "ts",
+        F.col("sp.begin").alias("begin"),
+        F.col("sp.end").alias("end"),
+        F.col("sp.surface").alias("surface"),
+        F.col("sp.etype").alias("etype"),
+    ).localCheckpoint()
+
+
+def test_incremental_canon_crash_replay(spark, t1_dir, tmp_path,
+                                        monkeypatch):
+    """foreachBatch is at-least-once: a crash between table commits
+    must leave a state that a replay of the SAME batch id repairs
+    exactly (rollback via batch-tagged segments + commit marker), and
+    a replay of an already-committed batch must be a no-op."""
+    from pyspark.sql import functions as F
+
+    cut = "c000020"
+    m0 = _mentions_of(spark, t1_dir, F.col("conv_id") < cut)
+    m1 = _mentions_of(spark, t1_dir, F.col("conv_id") >= cut)
+    dict_df = stages.dict_latest(
+        spark.read.parquet(f"{t1_dir}/alias_dict.parquet")
+    )
+
+    wh = str(tmp_path / "wh")
+    update = streaming.incremental_canon_updater(spark, wh, dict_df)
+    update(m0, 0)
+    io = TableIO(wh)
+    assert streaming.canon_last_applied(io) == 0
+
+    # crash mid-batch-1: the cc_labels commit raises AFTER nodes and
+    # lsh_edges landed (the exact ADVICE scenario)
+    real_append = TableIO.append
+
+    def exploding_append(self, df, table, **kw):
+        if table == "cc_labels":
+            raise RuntimeError("simulated crash before cc_labels")
+        return real_append(self, df, table, **kw)
+
+    monkeypatch.setattr(TableIO, "append", exploding_append)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        update(m1, 1)
+    monkeypatch.setattr(TableIO, "append", real_append)
+
+    # half-applied: node/edge segments for b1 exist, marker still at 0
+    assert any(s["batch_tag"] == "b1"
+               for s in io.manifest("nodes")["segments"])
+    assert streaming.canon_last_applied(io) == 0
+
+    # replay of batch 1 rolls back the partial segments and applies
+    update(m1, 1)
+    assert streaming.canon_last_applied(io) == 1
+    tags = [s["batch_tag"] for s in io.manifest("nodes")["segments"]]
+    assert tags.count("b1") == 1  # rolled back, then applied once
+
+    got_map = {
+        (r["node_id"], r["canonical_id"])
+        for r in io.read(spark, "entity_map").collect()
+    }
+    batch = run_fixture_pipeline(spark, t1_dir, buckets=8)
+    want_map = {
+        (r["node_id"], r["canonical_id"])
+        for r in batch["entity_map"].collect()
+    }
+    assert got_map == want_map
+
+    # replay of a COMMITTED batch id is a no-op
+    before = {t: io.manifest(t)["segments"]
+              for t in streaming.CANON_TABLES}
+    update(m1, 1)
+    after = {t: io.manifest(t)["segments"]
+             for t in streaming.CANON_TABLES}
+    assert before == after
