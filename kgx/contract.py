@@ -178,36 +178,81 @@ def hp_band_keys_np(vecs: np.ndarray) -> np.ndarray:
     return keys.astype(np.int32)
 
 
-# --- word-shingle variant (document-scale dedup) ----------------------------
+# --- document-scale hash family (word shingles / tokens, md5-based) ---------
 # Char bigrams are the right granularity for short entity surfaces but
 # degenerate for documents (tiny bigram universe -> everything looks
-# similar); document near-dup detection uses k-word shingles instead.
+# similar); document near-dup detection uses 3-word shingles / word
+# tokens instead. The token hash is the first/second 8 hex chars of
+# md5 — md5 is available and bit-identical in Spark (F.md5 + conv),
+# DuckDB (md5 + CAST('0x…')) and Python (hashlib), so the ENTIRE
+# MinHash/SimHash pipeline is engine-portable: the DuckDB oracles for
+# dedup_minhash_lsh / dedup_simhash reproduce blocking + verify
+# bit-for-bit (same pattern as the hyperplane sketch above).
+# Permutation products stay < 2^62: a,b < 2^30, token < 2^32 — safe in
+# BIGINT for both engines (DuckDB errors on 64-bit overflow).
 
 SHINGLE_K = 3
+DOC_PRIME = 2147483647  # 2^31 - 1
 
 
-def word_shingles(text: str, k: int = SHINGLE_K) -> list[str]:
-    words = text.split()
-    if len(words) < k:
-        return [" ".join(words)] if words else []
-    return sorted({" ".join(words[i : i + k]) for i in range(len(words) - k + 1)})
+def _doc_perm_constants() -> tuple[list[int], list[int]]:
+    a, b = [], []
+    for i in range(MINHASH_PERMS):
+        rng = random.Random(2000 + i)
+        a.append(rng.randrange(1, 1 << 30))
+        b.append(rng.randrange(0, 1 << 30))
+    return a, b
 
 
-def shingle_minhash(text: str, k: int = SHINGLE_K) -> np.ndarray:
-    """64-perm MinHash of the k-word shingle set (same perm family)."""
-    shs = word_shingles(text, k)
-    if not shs:
-        return np.full(MINHASH_PERMS, MINHASH_PRIME - 1, dtype=np.uint64)
-    x = np.array([bigram_token(s) for s in shs], dtype=np.uint64)
-    h = (MINHASH_A[:, None] * x[None, :] + MINHASH_B[:, None]) % np.uint64(
-        MINHASH_PRIME
-    )
-    return h.min(axis=1)
+DOC_A, DOC_B = _doc_perm_constants()
 
 
-def shingle_jaccard(a: str, b: str, k: int = SHINGLE_K) -> float:
-    sa, sb = set(word_shingles(a, k)), set(word_shingles(b, k))
-    if not sa and not sb:
-        return 1.0
+def md5_token(s: str, half: int = 0) -> int:
+    """32-bit token from md5 hex chars [8*half, 8*half+8)."""
+    h = hashlib.md5(s.encode("utf-8")).hexdigest()
+    return int(h[8 * half : 8 * half + 8], 16)
+
+
+def doc_shingles(text: str, k: int = SHINGLE_K) -> list[str]:
+    """Distinct k-word shingles of lower(text), split on single
+    spaces (empties kept — identical to Spark split / DuckDB
+    string_split, so all three engines see the same shingle set).
+    Shorter texts collapse to one whole-text shingle."""
+    ws = (text or "").lower().split(" ")
+    if len(ws) < k:
+        return [" ".join(ws)]
+    return sorted({" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)})
+
+
+def doc_minhash_sig(text: str) -> list[int]:
+    """64-perm MinHash of the shingle set (engine-portable twin)."""
+    toks = np.array([md5_token(s) for s in doc_shingles(text)],
+                    dtype=np.int64)
+    a = np.array(DOC_A, dtype=np.int64)
+    b = np.array(DOC_B, dtype=np.int64)
+    h = (a[:, None] * toks[None, :] + b[:, None]) % DOC_PRIME
+    return h.min(axis=1).tolist()
+
+
+def doc_jaccard(a: str, b: str) -> float:
+    sa, sb = set(doc_shingles(a)), set(doc_shingles(b))
     u = len(sa | sb)
-    return len(sa & sb) / u if u else 0.0
+    return len(sa & sb) / u if u else 1.0
+
+
+def doc_simhash(text: str) -> tuple[int, int]:
+    """64-bit SimHash over distinct single-space word tokens, returned
+    as two unsigned 32-bit halves (lo, hi) — two halves keep every
+    value < 2^32, BIGINT-safe in DuckDB where a set bit 63 would
+    overflow. Bit source: md5(token) hex chars 0-8 (lo) / 8-16 (hi)."""
+    toks = sorted(set((text or "").split(" ")))
+    lo_acc = np.zeros(32, dtype=np.int64)
+    hi_acc = np.zeros(32, dtype=np.int64)
+    for t in toks:
+        lo, hi = md5_token(t, 0), md5_token(t, 1)
+        for bit in range(32):
+            lo_acc[bit] += 1 if (lo >> bit) & 1 else -1
+            hi_acc[bit] += 1 if (hi >> bit) & 1 else -1
+    sh_lo = sum(1 << b for b in range(32) if lo_acc[b] > 0)
+    sh_hi = sum(1 << b for b in range(32) if hi_acc[b] > 0)
+    return sh_lo, sh_hi

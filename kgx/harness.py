@@ -1299,7 +1299,26 @@ def _lsh_candidate_pairs(banded: DataFrame, id_col: str,
     NOT dropped: every member is star-linked to the bucket's min id,
     which is linear in bucket size and keeps the cluster connected for
     downstream connected-components, instead of quadratic (or, worse,
-    silently absent)."""
+    silently absent).
+
+    Recall caveat (star-link is an APPROXIMATION conditional on bucket
+    homogeneity): star edges still pass the downstream similarity
+    verify, so in an oversized bucket only pairs involving the min-id
+    member survive directly — two members both within threshold of
+    each other but not of the representative are not emitted. For
+    near-identical clusters (the case that actually produces oversized
+    buckets) the representative is within threshold of everyone and
+    connectivity is preserved; heterogeneous oversized buckets trade
+    that tail of recall for linear cost. In particular the multi-band
+    pigeonhole guarantee of dedup_simhash holds only for pairs whose
+    shared band bucket is within `cap` (tests/test_dedup.py pins
+    exactly this contract).
+
+    The banded frame is materialized once (localCheckpoint): it feeds
+    the self-join twice plus the bucket-size aggregate, and without a
+    cut Catalyst re-evaluates the whole upstream signature pipeline
+    for each of the four subtrees (measured ~2x the op)."""
+    banded = banded.localCheckpoint()
     sizes = banded.groupBy(bk_col).agg(
         F.count("*").alias("n"), F.min(id_col).alias("mn")
     )
@@ -1322,80 +1341,290 @@ def _lsh_candidate_pairs(banded: DataFrame, id_col: str,
     )
 
 
-@op("dedup_minhash_lsh", None)
+def _lsh_pairs_cte(id_col: str) -> str:
+    """DuckDB CTE snippet shared by the oracle-backed LSH ops: a
+    `bands({id}, bk)` CTE in scope -> `pairs(id_a, id_b)` with the
+    exact bucket-cap + star-link semantics of _lsh_candidate_pairs."""
+    return f"""
+    sizes AS (SELECT bk, count(*) AS n, min({id_col}) AS mn
+              FROM bands GROUP BY bk),
+    cand AS (
+      SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
+      FROM bands a JOIN bands b ON a.bk = b.bk
+           AND a.{id_col} < b.{id_col}
+           JOIN sizes s ON s.bk = a.bk
+      WHERE s.n <= {MAX_LSH_BUCKET}
+      UNION ALL
+      SELECT s.mn AS id_a, b.{id_col} AS id_b
+      FROM bands b JOIN sizes s ON s.bk = b.bk
+      WHERE s.n > {MAX_LSH_BUCKET} AND b.{id_col} > s.mn
+    ),
+    pairs AS (SELECT DISTINCT id_a, id_b FROM cand)"""
+
+
+def _doc_minhash_sql() -> str:
+    """DuckDB twin of dedup_minhash_lsh — the md5 token hash and the
+    modular permutations (contract.DOC_A/DOC_B, products < 2^62) make
+    signatures, banding, bucket guard and Jaccard verify bit-identical
+    across engines, so the driver's value-hash check covers the full
+    blocked pipeline (same pattern as dedup_embedding_cosine)."""
+    from kgx.contract import DOC_A, DOC_B, DOC_PRIME, LSH_BANDS, LSH_ROWS
+
+    sig_terms = ",\n             ".join(
+        f"list_min(list_transform(tk, x -> ({DOC_A[i]} * x + {DOC_B[i]})"
+        f" % {DOC_PRIME}))"
+        for i in range(64)
+    )
+    band_terms = ",\n             ".join(
+        f"'{g}:' || " + " || '-' || ".join(
+            f"sig[{g * LSH_ROWS + r + 1}]" for r in range(LSH_ROWS)
+        )
+        for g in range(LSH_BANDS)
+    )
+    return f"""
+    WITH base AS (SELECT doc_id,
+                    string_split(lower(coalesce(text, '')), ' ') AS ws
+                  FROM documents),
+    sh AS (SELECT doc_id,
+             CASE WHEN len(ws) >= 3 THEN
+               list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+             ELSE [array_to_string(ws, ' ')] END AS shs
+           FROM base),
+    tok AS (SELECT doc_id,
+              list_transform(shs,
+                s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS tk
+            FROM sh),
+    sig AS (SELECT doc_id,
+             [{sig_terms}] AS sig
+            FROM tok),
+    bands AS (SELECT doc_id,
+             unnest([{band_terms}]) AS bk
+              FROM sig),
+    {_lsh_pairs_cte('doc_id')}
+    SELECT p.id_a AS id_a, p.id_b AS id_b,
+           round(len(list_intersect(a.shs, b.shs)) * 1.0 /
+                 (len(a.shs) + len(b.shs)
+                  - len(list_intersect(a.shs, b.shs))), 4) AS sim
+    FROM pairs p JOIN sh a ON a.doc_id = p.id_a
+                 JOIN sh b ON b.doc_id = p.id_b
+    WHERE len(list_intersect(a.shs, b.shs)) * 1.0 /
+          (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))
+          >= {JACCARD_TAU}
+    """
+
+
+@op("dedup_minhash_lsh", _doc_minhash_sql())
 def dedup_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup candidates over documents: 3-word-shingle
     signatures (char bigrams degenerate on documents — tiny bigram
     universe makes everything 'similar'), 16x4 bands, candidates
-    verified by exact shingle Jaccard.
+    verified by exact distinct-shingle Jaccard.
+
+    Fully JVM-side (no Python in the plan): shingles via higher-order
+    transform, tokens = conv(md5) 32-bit ints computed ONCE per
+    (doc, shingle) on the exploded rows, and the 64 permutations are
+    codegen'd min() aggregates in a single groupBy pass (array-lambda
+    variants re-inline the md5 per permutation — measured ~2x slower).
+    The verify is array_intersect on the pre-split shingle arrays. The
+    identical integer pipeline runs in DuckDB (_doc_minhash_sql), so
+    this op is value-hash-checked end to end.
 
     Scale design: the candidate self-join carries ONLY (doc_id, band
-    key); document text is re-joined per pair id afterwards, so the
-    pair shuffle never ships full text. Oversized buckets star-link to
-    a representative (see _lsh_candidate_pairs) — a >cap cluster of
-    near-identical docs stays connected at linear cost instead of
-    being silently dropped."""
-    from kgx.spark.udfs import (
-        band_key_cols,
-        shingle_jaccard_udf,
-        shingle_minhash_sig,
-    )
+    key); shingle arrays are re-joined per pair id afterwards, so the
+    pair shuffle never ships document content. Oversized buckets
+    star-link to a representative (see _lsh_candidate_pairs; linear
+    cost, connectivity preserved, recall approximation documented
+    there)."""
+    from kgx.contract import DOC_A, DOC_B, DOC_PRIME
+    from kgx.spark.udfs import band_key_cols
 
-    d = t(spark, sf, "documents").select(
-        "doc_id", F.lower("text").alias("norm")
+    ws = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+    d = (
+        # documents is a single parquet file at bench scale -> one scan
+        # partition; fan the signature compute out across all cores
+        t(spark, sf, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", ws.alias("ws"))
+        .withColumn(
+            "shs",
+            F.when(
+                F.size("ws") >= 3,
+                F.array_distinct(F.expr(_SHINGLE_SPARK)),
+            ).otherwise(F.array(F.concat_ws(" ", F.col("ws")))),
+        )
+        .drop("ws")
+        # feeds tokens AND both sides of the verify re-join: pay the
+        # shingle split once
+        .localCheckpoint()
     )
-    banded = d.withColumn("sig", shingle_minhash_sig("norm")).select(
-        "doc_id", F.explode(band_key_cols()).alias("bk")
+    toks = d.select("doc_id", F.explode("shs").alias("s")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("tok"),
+    )
+    sig_aggs = [
+        F.min(
+            (F.lit(DOC_A[i]) * F.col("tok") + F.lit(DOC_B[i]))
+            % F.lit(DOC_PRIME)
+        ).alias(f"s{i}")
+        for i in range(64)
+    ]
+    banded = (
+        toks.groupBy("doc_id")
+        .agg(*sig_aggs)
+        .withColumn("sig", F.array(*[F.col(f"s{i}") for i in range(64)]))
+        .select("doc_id", F.explode(band_key_cols()).alias("bk"))
     )
     pairs = _lsh_candidate_pairs(banded, id_col="doc_id")
-    na = d.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("na"))
-    nb = d.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("nb"))
+    sa = d.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("sa"))
+    sb = d.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    den = F.size("sa") + F.size("sb") - inter
     return (
-        pairs.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn("sim", shingle_jaccard_udf("na", "nb"))
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("sim", inter / den)
         .where(F.col("sim") >= JACCARD_TAU)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )
 
 
-@op("dedup_simhash", None)
-def dedup_simhash(spark, sf):
-    """64-bit SimHash near-dup with MULTI-BAND probing: the hash is
-    split into 8 bands of 8 bits, so any pair within hamming distance
-    7 shares at least one band exactly (pigeonhole) — single-band
-    blocking cannot guarantee recall for the hamming<=6 predicate this
-    op verifies. Bands are JVM bit ops on the signature; the signature
-    itself is a fully vectorized numpy pipeline (udfs.simhash64_np, no
-    per-token Python). Oversized buckets star-link to a representative
-    (linear, connectivity-preserving). Verify = bit_count(xor) <= 6,
-    JVM-side. Recall vs brute force is pytest-gated (tests/
-    test_dedup.py)."""
-    from kgx.spark.udfs import simhash64
-
-    d = t(spark, sf, "documents").select(
-        "doc_id", simhash64("text").alias("sh")
+def _doc_simhash_sql() -> str:
+    """DuckDB twin of dedup_simhash: same md5-derived bit patterns,
+    same two-halves signature (each < 2^32 — a set bit 63 would
+    overflow DuckDB's BIGINT), same banding and hamming verify."""
+    acc_terms = ",\n             ".join(
+        f"SUM(CASE WHEN (({h} >> {b}) & 1) = 1 THEN 1 ELSE -1 END)"
+        f" AS {h}{b}"
+        for h in ("lo", "hi")
+        for b in range(32)
     )
+
+    def sig_expr(h: str) -> str:
+        return " + ".join(
+            f"CASE WHEN {h}{b} > 0 THEN {1 << b} ELSE 0 END"
+            for b in range(32)
+        )
+
+    band_terms = ", ".join(
+        f"{g * 256} + ((sh_{'lo' if g < 4 else 'hi'} >> {8 * (g % 4)})"
+        " & 255)"
+        for g in range(8)
+    )
+    return f"""
+    WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id,
+                    unnest(string_split(coalesce(text, ''), ' ')) AS tok
+             FROM documents)),
+    th AS (SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS lo,
+             CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS hi
+           FROM toks),
+    acc AS (SELECT doc_id,
+             {acc_terms}
+            FROM th GROUP BY doc_id),
+    sig AS (SELECT doc_id,
+              CAST({sig_expr('lo')} AS BIGINT) AS sh_lo,
+              CAST({sig_expr('hi')} AS BIGINT) AS sh_hi
+            FROM acc),
+    bands AS (SELECT doc_id, unnest([{band_terms}]) AS bk FROM sig),
+    {_lsh_pairs_cte('doc_id')}
+    SELECT p.id_a AS id_a, p.id_b AS id_b,
+           CAST(bit_count(xor(a.sh_lo, b.sh_lo))
+                + bit_count(xor(a.sh_hi, b.sh_hi)) AS INTEGER)
+             AS hamming
+    FROM pairs p JOIN sig a ON a.doc_id = p.id_a
+                 JOIN sig b ON b.doc_id = p.id_b
+    WHERE bit_count(xor(a.sh_lo, b.sh_lo))
+          + bit_count(xor(a.sh_hi, b.sh_hi)) <= 6
+    """
+
+
+@op("dedup_simhash", _doc_simhash_sql())
+def dedup_simhash(spark, sf):
+    """64-bit SimHash near-dup with MULTI-BAND probing: the signature
+    is split into 8 bands of 8 bits, so any pair within hamming
+    distance 7 shares at least one band exactly (pigeonhole; the
+    guarantee is conditional on that band's bucket being within the
+    size cap — see _lsh_candidate_pairs) — single-band blocking cannot
+    guarantee recall for the hamming<=6 predicate this op verifies.
+
+    Fully JVM-side: per-token bit patterns come straight from md5
+    (conv of hex halves), the per-bit +/-1 accumulation is 64 codegen
+    sum(CASE) aggregates in ONE groupBy, and the signature is kept as
+    two 32-bit halves so the identical arithmetic runs in DuckDB
+    (BIGINT-safe) — this op is value-hash-checked end to end
+    (_doc_simhash_sql). Verify = bit_count(xor) <= 6 over both halves.
+    Recall contract vs brute force is pytest-gated
+    (tests/test_dedup.py)."""
+    toks = (
+        t(spark, sf, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+                )
+            ).alias("tok"),
+        )
+    )
+    w = toks.select("doc_id", F.md5("tok").alias("h")).select(
+        "doc_id",
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("lo"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("hi"),
+    )
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col(h), b).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"{h}{b}")
+        for h in ("lo", "hi")
+        for b in range(32)
+    ]
+    acc = w.groupBy("doc_id").agg(*aggs)
+
+    def sig_col(h: str):
+        s = F.lit(0).cast("bigint")
+        for b in range(32):
+            s = s + F.when(F.col(f"{h}{b}") > 0, F.lit(1 << b)).otherwise(
+                F.lit(0)
+            )
+        return s.cast("bigint")
+
+    d = acc.select(
+        "doc_id", sig_col("lo").alias("sh_lo"), sig_col("hi").alias("sh_hi")
+    ).localCheckpoint()  # feeds banding + both verify-join sides
     keys = F.array(
         *[
             (
                 F.lit(g * 256)
-                + F.shiftrightunsigned("sh", 8 * g).bitwiseAND(F.lit(255))
+                + F.shiftrightunsigned(
+                    F.col("sh_lo" if g < 4 else "sh_hi"), 8 * (g % 4)
+                ).bitwiseAND(F.lit(255))
             ).cast("int")
             for g in range(8)
         ]
     )
     banded = d.select("doc_id", F.explode(keys).alias("bk"))
     pairs = _lsh_candidate_pairs(banded, id_col="doc_id")
-    sa = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
-    sb = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
+    sa = d.select(F.col("doc_id").alias("id_a"),
+                  F.col("sh_lo").alias("la"), F.col("sh_hi").alias("ha"))
+    sb = d.select(F.col("doc_id").alias("id_b"),
+                  F.col("sh_lo").alias("lb"), F.col("sh_hi").alias("hb"))
+    hamming = (
+        F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+        + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    ).cast("int")
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))),
-        )
+        .withColumn("hamming", hamming)
         .where(F.col("hamming") <= 6)
         .select("id_a", "id_b", "hamming")
     )

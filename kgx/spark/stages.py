@@ -23,7 +23,7 @@ from kgx.contract import JACCARD_TAU, SEP
 from kgx.spark.udfs import (
     band_key_cols,
     decode_spans,
-    jaccard_udf,
+    jaccard_col,
     minhash_sig,
     normalize_surface,
 )
@@ -394,7 +394,7 @@ def link_lsh_edges(nodes: DataFrame) -> DataFrame:
         .dropDuplicates(["src", "dst", "norm_a", "norm_b"])
     )
     return (
-        cand.withColumn("sim", jaccard_udf("norm_a", "norm_b"))
+        cand.withColumn("sim", jaccard_col("norm_a", "norm_b"))
         .where(F.col("sim") >= F.lit(JACCARD_TAU))
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst", "sim")
@@ -442,7 +442,7 @@ def link_lsh_edges_incremental(new_nodes: DataFrame,
         .dropDuplicates(["src", "dst", "norm_a", "norm_b"])
     )
     return (
-        cand.withColumn("sim", jaccard_udf("norm_a", "norm_b"))
+        cand.withColumn("sim", jaccard_col("norm_a", "norm_b"))
         .where(F.col("sim") >= F.lit(JACCARD_TAU))
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst", "sim")

@@ -22,7 +22,6 @@ from kgx.contract import (
     LSH_ROWS,
     TAGS,
     char_bigrams,
-    jaccard,
     minhash_signature,
 )
 from kgx.tagcore import (
@@ -177,86 +176,40 @@ def minhash_sig(norms: pd.Series) -> pd.Series:
     )
 
 
-@F.pandas_udf(T.DoubleType())
-def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Exact char-bigram Jaccard (verify step after LSH blocking)."""
-    return pd.Series(
-        [jaccard(x, y) for x, y in zip(a.fillna(""), b.fillna(""))]
+def bigram_arr_col(c: str):
+    """Distinct char bigrams of a string column, JVM-side (twin of
+    contract.char_bigrams; substr is codepoint-based like Python
+    slicing, so CJK surfaces agree). sequence(1, 0) DESCENDS in Spark
+    — the short-string cases are guarded."""
+    col = F.col(c)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(col) - 1),
+            lambda i: col.substr(i, F.lit(2)),
+        )
     )
+    return (
+        F.when(F.length(col) >= 2, grams)
+        .when(F.length(col) == 1, F.array(col))
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
+def jaccard_col(a: str, b: str):
+    """Exact char-bigram Jaccard as a pure JVM expression (verify step
+    after LSH blocking — replaces the Arrow-crossing pandas UDF; the
+    double division of small int counts is bit-identical to the
+    Python twin contract.jaccard, asserted in tests)."""
+    ga, gb = bigram_arr_col(a), bigram_arr_col(b)
+    inter = F.size(F.array_intersect(ga, gb))
+    den = F.size(ga) + F.size(gb) - inter
+    return F.when(den == 0, F.lit(1.0)).otherwise(inter / den)
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def bigrams_udf(norms: pd.Series) -> pd.Series:
     """Distinct char bigrams (used by the dedup/text harness ops)."""
     return pd.Series([char_bigrams(n) for n in norms.fillna("")])
-
-
-@F.pandas_udf(T.ArrayType(T.LongType()))
-def shingle_minhash_sig(texts: pd.Series) -> pd.Series:
-    """Document text -> 64-perm MinHash over 3-word shingles (the
-    document-scale dedup granularity; char bigrams degenerate there)."""
-    from kgx.contract import shingle_minhash
-
-    return pd.Series(
-        [shingle_minhash(t).astype(np.int64).tolist()
-         for t in texts.fillna("")]
-    )
-
-
-@F.pandas_udf(T.DoubleType())
-def shingle_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Exact 3-word-shingle Jaccard (verify step for document dedup)."""
-    from kgx.contract import shingle_jaccard
-
-    return pd.Series(
-        [shingle_jaccard(x, y) for x, y in zip(a.fillna(""), b.fillna(""))]
-    )
-
-
-def simhash64_np(texts: pd.Series) -> np.ndarray:
-    """Vectorized 64-bit SimHash over whitespace tokens — no per-token
-    Python. Token hashing is a numpy pipeline: tokens (doc-deduped via
-    pandas explode/drop_duplicates/factorize, all C-level) are viewed
-    as fixed-width UCS4 code matrices (truncated to 16 chars — a
-    documented feature-hash approximation), folded with an FNV-style
-    uint64 polynomial (natural wraparound), finalized murmur-style,
-    and spread to ±1 bit matrices; per-doc accumulation is one
-    np.add.at. Returns int64[n] (signed view of the uint64 simhash)."""
-    s = texts.fillna("").reset_index(drop=True)
-    n = len(s)
-    out = np.zeros(n, dtype=np.uint64)
-    tk = s.str.split().explode().dropna()
-    if len(tk):
-        df = pd.DataFrame(
-            {"doc": tk.index.to_numpy(np.int64), "tok": tk.to_numpy()}
-        ).drop_duplicates()
-        codes, uniq = pd.factorize(df["tok"])
-        u = np.asarray(uniq, dtype="U16")
-        m = u.view(np.uint32).reshape(len(uniq), 16).astype(np.uint64)
-        h = np.zeros(len(uniq), dtype=np.uint64)
-        base = np.uint64(1099511628211)  # FNV-1a prime
-        for i in range(16):
-            h = h * base + m[:, i]
-        h ^= h >> np.uint64(33)
-        h *= np.uint64(0xFF51AFD7ED558CCD)
-        h ^= h >> np.uint64(33)
-        h *= np.uint64(0xC4CEB9FE1A85EC53)
-        h ^= h >> np.uint64(33)
-        shifts = np.arange(64, dtype=np.uint64)
-        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
-            np.int64
-        )
-        pm1 = 2 * bits - 1  # [n_uniq, 64] of ±1
-        acc = np.zeros((n, 64), dtype=np.int64)
-        np.add.at(acc, df["doc"].to_numpy(), pm1[codes])
-        sign = (acc > 0).astype(np.uint64)
-        out = (sign << shifts[None, :]).sum(axis=1, dtype=np.uint64)
-    return out.view(np.int64)
-
-
-@F.pandas_udf(T.LongType())
-def simhash64(texts: pd.Series) -> pd.Series:
-    return pd.Series(simhash64_np(texts))
 
 
 @F.pandas_udf(T.ArrayType(T.IntegerType()))

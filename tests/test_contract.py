@@ -66,38 +66,61 @@ def test_band_keys_shape():
 # --- word-shingle minhash (document dedup granularity) -----------------------
 
 
-def test_shingle_jaccard_separates_docs():
-    from kgx.contract import shingle_jaccard, word_shingles
+def test_doc_jaccard_separates_docs():
+    from kgx.contract import doc_jaccard, doc_shingles
 
     base = ("the quick brown fox jumps over the lazy dog while the "
             "band plays a slow tune in the old town square tonight")
     near = base.replace("slow tune", "fast tune")
     other = ("completely different words about spark shuffles and "
              "partition pruning at terabyte scale with salted joins")
-    assert shingle_jaccard(base, base) == 1.0
-    assert shingle_jaccard(base, near) >= 0.7
-    assert shingle_jaccard(base, other) < 0.05
-    assert word_shingles("one two", k=3) == ["one two"]
-    assert word_shingles("", k=3) == []
+    assert doc_jaccard(base, base) == 1.0
+    assert doc_jaccard(base, near) >= 0.7
+    assert doc_jaccard(base, other) < 0.05
+    assert doc_shingles("one two") == ["one two"]
+    assert doc_shingles("") == [""]  # single-space split keeps empties
 
 
-def test_shingle_minhash_estimates_and_bands():
-    import numpy as np
-
+def test_doc_minhash_estimates_and_bands():
     from kgx.contract import (
-        band_keys,
-        shingle_jaccard,
-        shingle_minhash,
+        DOC_PRIME,
+        LSH_BANDS,
+        LSH_ROWS,
+        doc_jaccard,
+        doc_minhash_sig,
     )
+
+    def bkeys(sig):
+        return {
+            (g, tuple(sig[g * LSH_ROWS:(g + 1) * LSH_ROWS]))
+            for g in range(LSH_BANDS)
+        }
 
     base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
             "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
     near = base.replace("iota kappa", "iota kappa2")
     far = "uno dos tres cuatro cinco seis siete ocho nueve diez once"
-    sa, sn, sf_ = (shingle_minhash(t) for t in (base, near, far))
-    est = float((sa == sn).mean())
-    assert abs(est - shingle_jaccard(base, near)) < 0.25
+    sa, sn, sf_ = (doc_minhash_sig(t) for t in (base, near, far))
+    est = sum(a == b for a, b in zip(sa, sn)) / 64
+    assert abs(est - doc_jaccard(base, near)) < 0.25
     # near-dup collides in >=1 band; unrelated docs collide in none
-    assert set(band_keys(sa)) & set(band_keys(sn))
-    assert not set(band_keys(sa)) & set(band_keys(sf_))
-    assert sa.dtype == np.uint64 and len(sa) == 64
+    assert bkeys(sa) & bkeys(sn)
+    assert not bkeys(sa) & bkeys(sf_)
+    assert len(sa) == 64 and all(0 <= v < DOC_PRIME for v in sa)
+
+
+def test_doc_simhash_hamming_tracks_similarity():
+    from kgx.contract import doc_simhash
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    near = base.replace("phi chi", "phi psi")
+    far = "uno dos tres cuatro cinco seis siete ocho nueve diez once"
+
+    def ham(x, y):
+        return bin(x[0] ^ y[0]).count("1") + bin(x[1] ^ y[1]).count("1")
+
+    sb, sn, sf_ = (doc_simhash(t) for t in (base, near, far))
+    assert all(0 <= h < (1 << 32) for h in (*sb, *sn, *sf_))
+    assert ham(sb, sn) < ham(sb, sf_)
+    assert ham(sb, sb) == 0

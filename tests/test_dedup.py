@@ -3,10 +3,6 @@ oversized-bucket star-link guard (a >cap cluster of near-identical
 documents must stay connected, not vanish), and the vectorized
 fingerprint against a straightforward per-char reference."""
 
-import numpy as np
-import pandas as pd
-from pyspark.sql import functions as F
-
 SF = "/root/testdata/sf0.001"
 
 
@@ -34,43 +30,46 @@ def test_simhash_multiband_recall(spark):
         bucket of size <= cap IS emitted (pairs confined to oversized
         buckets go through the star-link path instead — connectivity
         covered by the planted-cluster test below).
-    Verified against a numpy brute force over all pairs."""
+    Verified against the pure-Python engine-portable twin
+    (contract.doc_simhash) brute-forced over all pairs."""
+    from kgx.contract import doc_simhash
     from kgx.harness import MAX_LSH_BUCKET, dedup_simhash
-    from kgx.spark.udfs import simhash64_np
 
     docs = (
         spark.read.parquet(f"{SF}/documents.parquet")
         .select("doc_id", "text")
         .collect()
     )
-    sh = simhash64_np(pd.Series([r["text"] for r in docs])).astype(
-        np.uint64
-    )
+    sh = [doc_simhash(r["text"]) for r in docs]
     ids = [r["doc_id"] for r in docs]
     pos = {d: i for i, d in enumerate(ids)}
-    want = set()
-    for i in range(len(ids)):
-        x = sh[i] ^ sh[i + 1 :]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        for j in np.nonzero(ham <= 6)[0]:
-            a, b = ids[i], ids[i + 1 + int(j)]
-            want.add((min(a, b), max(a, b)))
 
-    bands = np.stack(
-        [(sh >> np.uint64(8 * g)) & np.uint64(255) for g in range(8)], 1
-    )
-    oversized = set()
-    for g in range(8):
-        vals, counts = np.unique(bands[:, g], return_counts=True)
-        for v, c in zip(vals, counts):
-            if c > MAX_LSH_BUCKET:
-                oversized.add((g, int(v)))
+    def ham(i, j):
+        return bin(sh[i][0] ^ sh[j][0]).count("1") + bin(
+            sh[i][1] ^ sh[j][1]
+        ).count("1")
+
+    want = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if ham(i, j) <= 6
+    }
+
+    def band(i, g):
+        half = sh[i][0] if g < 4 else sh[i][1]
+        return (half >> (8 * (g % 4))) & 255
+
+    from collections import Counter
+
+    sizes = Counter((g, band(i, g)) for i in range(len(ids))
+                    for g in range(8))
+    oversized = {k for k, c in sizes.items() if c > MAX_LSH_BUCKET}
 
     def shares_small_bucket(a, b):
         i, j = pos[a], pos[b]
         return any(
-            bands[i, g] == bands[j, g]
-            and (g, int(bands[i, g])) not in oversized
+            band(i, g) == band(j, g) and (g, band(i, g)) not in oversized
             for g in range(8)
         )
 
@@ -84,6 +83,50 @@ def test_simhash_multiband_recall(spark):
     assert guaranteed, "test data produced no small-bucket pairs"
     missing = guaranteed - got
     assert not missing, f"{len(missing)} guaranteed pairs missing"
+
+
+def test_doc_hash_twins_match_spark(spark):
+    """The pure-Python twins (contract.doc_minhash_sig / doc_simhash)
+    must be bit-identical to the JVM md5/conv pipelines the operators
+    run — the twins are what the brute-force recall gates above trust,
+    and the DuckDB oracles are a third implementation checked by the
+    driver."""
+    from pyspark.sql import functions as F
+
+    from kgx.contract import DOC_A, DOC_B, DOC_PRIME, doc_minhash_sig
+    from kgx.harness import _SHINGLE_SPARK
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "one two",
+        "",
+        "a  b   c d e f g",  # consecutive spaces -> empty tokens
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+    ws = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+    d = df.select("doc_id", ws.alias("ws")).withColumn(
+        "shs",
+        F.when(F.size("ws") >= 3,
+               F.array_distinct(F.expr(_SHINGLE_SPARK)))
+        .otherwise(F.array(F.concat_ws(" ", F.col("ws")))),
+    ).withColumn(
+        "tk",
+        F.transform("shs", lambda s: F.conv(
+            F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")),
+    )
+    sig = F.array(*[
+        F.array_min(F.transform(
+            "tk",
+            lambda x: (F.lit(DOC_A[i]) * x + F.lit(DOC_B[i]))
+            % F.lit(DOC_PRIME),
+        ))
+        for i in range(64)
+    ])
+    got = {r["doc_id"]: r["sig"]
+           for r in d.withColumn("sig", sig).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == doc_minhash_sig(t), f"doc {i}"
 
 
 def test_minhash_star_guard_keeps_giant_cluster(spark, tmp_path):
