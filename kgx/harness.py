@@ -2498,37 +2498,38 @@ def sink_manifest(spark, sf):
 # oracle-backed op regardless of position.
 # ---------------------------------------------------------------------
 
+# The driver samples the FIRST 50 registration-order entries per
+# round; the order below is rotated each round so that, unioned over
+# rounds, every op gets a driver-recorded row. Round-3 priorities:
+# the two ops never sampled in r1/r2 (fn_conditional, fn_map), the
+# two dedup ops whose DuckDB oracles are NEW this round, then the
+# oracle-backed ops whose only green row is from round 1.
 _CHECK_FIRST = [
-    # scans / sinks
-    "scan_parquet", "scan_json_props", "scan_text_bio",
-    "sink_parquet_partitioned", "scan_iceberg", "sink_manifest",
-    # KG pipeline tables (north star)
+    # never driver-sampled before round 3
+    "fn_conditional", "fn_map",
+    # new value-hash oracles this round
+    "dedup_minhash_lsh", "dedup_simhash",
+    # round-1-only greens (rotated out of the r2 window)
+    "project_select", "filter_pred", "derive_cols", "filter_null_safe",
+    "join_sort_merge", "join_left_outer", "join_left_semi",
+    "join_left_anti", "join_self_theta", "join_range_interval",
+    "join_cross_small",
+    "agg_distinct", "agg_collect_sorted", "agg_minmax_stats",
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_having",
+    "agg_pivot",
+    "win_lag_lead", "win_rank_dense", "win_running_frame", "win_ntile",
+    "win_first_last",
+    "sort_global", "set_intersect", "set_except",
+    "fn_string", "fn_date", "fn_array", "fn_json", "fn_struct",
+    # rows-only ops refreshed with an r3 row
+    "join_skew_aqe", "agg_approx_distinct", "sort_within_partitions",
+    "fn_math_hash",
+    # KG pipeline tables (north star, keep visible in the r3 record)
     "pipe_mentions", "pipe_triples_raw", "pipe_links", "pipe_edges",
     "pipe_vertices",
-    # dedup / similarity (training-data ops)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_bucket",
-    # text analysis
-    "text_langid", "text_quality", "text_tokens", "text_fingerprint",
-    # multimodal plumbing
-    "mm_decode_stub", "mm_frame_sample",
-    # UDF / UDAF / UDTF surface
-    "udf_scalar_pandas", "udf_iter_tagger", "udf_span_decode",
-    "udf_grouped_map", "udf_map_partitions", "udf_grouped_agg",
-    "udf_minhash", "udtf_surface",
-    # graph
-    "graph_connected_components", "graph_degree",
-    "graph_triangle_free_check",
-    # eval
-    "eval_triple_prf", "eval_conlleval", "eval_scaling",
-    # streaming + session windows
-    "stream_windowed_counts", "stream_incremental_canon",
-    "win_session_window",
-    # one representative per relational family
-    "join_broadcast_hash", "join_salted_equi", "join_asof",
-    "agg_hash_count", "agg_two_phase_salted", "win_row_number",
-    "sort_limit_topk", "set_union_byname",
+    # heavy value-checked representatives
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "ann_cosine_topk", "graph_connected_components",
 ]
 
 
