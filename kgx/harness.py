@@ -430,12 +430,24 @@ def join_cross_small(spark, sf):
 
 @op("join_skew_aqe", None)
 def join_skew_aqe(spark, sf):
-    """Sort-merge join relying on AQE skew split (conf is set in the
-    session factory); rows-only — the check is that it runs + plan."""
-    li = t(spark, sf, "lineitem")
-    o = t(spark, sf, "orders")
+    """Sort-merge join under REAL key skew, relying on the AQE skew
+    split (conf is set in the session factory): ~80% of lineitem rows
+    collapse onto one hot join key — the shape a hot entity produces
+    at 100 TB. Rows-only; that the post-AQE physical plan actually
+    contains SortMergeJoin(skew=true) is asserted on an executed plan
+    in tests/test_plans.py::test_aqe_skew_join_splits_hot_partition
+    (with thresholds scaled to sandbox data sizes — the default 256MB
+    threshold is itself the cluster-scale knob)."""
+    li = t(spark, sf, "lineitem").withColumn(
+        "k",
+        F.when(F.pmod("l_orderkey", 5) != 0, F.lit(0).cast("bigint"))
+        .otherwise(F.col("l_orderkey")),
+    )
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
     return (
-        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        li.join(o.hint("merge"), "k", "left")
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n"))
     )

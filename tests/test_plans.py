@@ -133,6 +133,46 @@ def test_no_row_python_udf_in_engine():
     assert not offenders, offenders
 
 
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """join_skew_aqe exists to demonstrate AQE's skew-join split; with
+    uniform keys the path it demonstrates never fires. This executes a
+    genuinely skewed sort-merge join (80% of rows on one key) with the
+    skew thresholds scaled down to sandbox data sizes and asserts the
+    FINAL adaptive plan really split the hot partition —
+    SortMergeJoin(skew=true), not just the configs being on."""
+    skew_confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k) for k in skew_confs}
+    for k, v in skew_confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200000).select(
+            F.when(F.col("id") % 5 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(50000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+        )
+        agg = (
+            left.join(right.hint("merge"), "k", "left")
+            .groupBy((F.col("k") % 7).alias("g"))
+            .agg(F.count("*").alias("n"))
+        )
+        agg.collect()  # execute -> AQE finalizes the adaptive plan
+        plan = plan_of(agg)
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_aqe_and_skew_configs_on(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
