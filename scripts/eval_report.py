@@ -27,7 +27,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def evaluate(spark, tier: str) -> tuple[dict, list[str]]:
+def evaluate(spark, tier: str,
+             artifact: str = "tagger_v1.npz") -> tuple[dict, list[str]]:
     fixture = os.path.join(REPO, "fixtures", tier)
     if not os.path.exists(os.path.join(fixture, "meta.json")):
         from kgx import synth
@@ -40,12 +41,14 @@ def evaluate(spark, tier: str) -> tuple[dict, list[str]]:
     from kgx.evalkit import conlleval, triple_prf
     from kgx.spark.run import Runner
 
-    ref = oracle.run(fixture)
+    ref = oracle.run(fixture, artifact)
     ref_triples = set(ref["triple_set"])
 
-    wh = tempfile.mkdtemp(prefix=f"kgx_eval_{tier}_wh_")
+    slot = artifact.replace(".npz", "")
+    wh = tempfile.mkdtemp(prefix=f"kgx_eval_{tier}_{slot}_wh_")
     try:
-        runner = Runner(spark, fixture, wh, f"eval_{tier}", buckets=16)
+        runner = Runner(spark, fixture, wh, f"eval_{tier}_{slot}",
+                        buckets=16, artifact=artifact)
         runner.run()
         ours = {
             (r["subj_id"], r["pred"], r["obj_id"])
@@ -63,7 +66,7 @@ def evaluate(spark, tier: str) -> tuple[dict, list[str]]:
         from kgx.tagcore import TaggerArtifact
 
         tagger = make_tagger_udf(
-            spark, TaggerArtifact.load(f"{fixture}/tagger_v1.npz"))
+            spark, TaggerArtifact.load(f"{fixture}/{artifact}"))
         bio = (
             spark.read.parquet(f"{fixture}/bio_eval.parquet")
             .withColumn("text", F.concat_ws("", "chars"))
@@ -86,6 +89,7 @@ def evaluate(spark, tier: str) -> tuple[dict, list[str]]:
         "recall": round(prf["recall"], 6),
         "pass": bool(gate),
         "tier": tier,
+        "artifact": artifact,
         "n_triples_ours": prf["ours"],
         "n_triples_ref": prf["ref"],
         "conlleval_overall_f1": round(rep["overall"]["f1"], 6),
@@ -96,7 +100,9 @@ def evaluate(spark, tier: str) -> tuple[dict, list[str]]:
     label = ("Chinese-script (per-char, multi-byte, no-whitespace)"
              if tier.endswith("_zh") else "Latin-script")
     md = [
-        f"## Tier `{tier}` — {label}",
+        f"## Tier `{tier}` — {label} — artifact `{artifact}`"
+        + (" (context-cue-weighted second model slot)"
+           if artifact != "tagger_v1.npz" else ""),
         "",
         "### Triple-set P/R — distributed pipeline vs reference",
         "",
@@ -140,6 +146,9 @@ def evaluate(spark, tier: str) -> tuple[dict, list[str]]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiers", default="t2,t2_zh")
+    ap.add_argument("--v2-tier", default="t2",
+                    help="tier to additionally evaluate with the "
+                    "second tagger artifact (empty to skip)")
     args = ap.parse_args()
     tiers = args.tiers.split(",")
 
@@ -162,6 +171,15 @@ def main() -> None:
     try:
         for tier in tiers:
             out, lines = evaluate(spark, tier)
+            outs.append(out)
+            md.extend(lines)
+        # second model slot (SURVEY A.3 / A14-A15): same pipeline, v2
+        # artifact plugged in — the P/R gate is pipeline-vs-oracle with
+        # BOTH sides running v2; its conlleval vs the gazetteer gold is
+        # reported as-is (v2 gates weak forms BY DESIGN, so < 1.0
+        # against a v1-gazetteer-derived gold is expected, not a bug)
+        if args.v2_tier:
+            out, lines = evaluate(spark, args.v2_tier, "tagger_v2.npz")
             outs.append(out)
             md.extend(lines)
     finally:
