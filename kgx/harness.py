@@ -2319,12 +2319,15 @@ def stream_windowed_counts(spark, sf):
 
 @op("stream_incremental_canon", None)
 def stream_incremental_canon(spark, sf):
-    """Streaming incremental link/canon (B.9): fixture transcripts
-    arrive as TWO files -> two micro-batches; each batch's new nodes
-    are diffed in, LSH edges generated new-x-all only, and connected
-    components re-solved seeded with the previous labels. Returns the
-    final canonical vertices (equality with the batch pipeline is
-    pytest-gated in tests/test_streaming_canon.py)."""
+    """Streaming incremental link/canon/edges (B.9): fixture
+    transcripts arrive as TWO files -> two micro-batches; each batch's
+    new nodes are diffed in, LSH edges generated new-x-all only,
+    connected components solved on the condensed (batch-sized) graph,
+    label/map/vertex DELTAS appended to keyed logs, and the batch's
+    triples folded into the additive node-keyed edge log. Returns the
+    final canonical vertices (equality of vertices, entity_map AND the
+    canonical edge view with the batch pipeline is pytest-gated in
+    tests/test_streaming_canon.py)."""
     import tempfile
 
     import pyarrow.compute as pc
@@ -2352,9 +2355,14 @@ def stream_incremental_canon(spark, sf):
             tbl.filter(pc.greater_equal(tbl["conv_id"], "c000010")),
             os.path.join(arrivals, "b.parquet"))
         wh = os.path.join(tmp, "wh")
+        patterns = [
+            r.asDict()
+            for r in spark.read.parquet(
+                os.path.join(fx, "patterns.parquet")).collect()
+        ]
         streaming.run_incremental_canon(
             spark, arrivals, os.path.join(tmp, "ckpt"), wh, udf,
-            dict_df, max_files_per_trigger=1)
+            dict_df, patterns_rows=patterns, max_files_per_trigger=1)
         out = (
             TableIO(wh).read(spark, "cc_vertices")
             .withColumn("aliases", F.concat_ws(",", "aliases"))

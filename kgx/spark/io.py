@@ -119,6 +119,7 @@ class TableIO:
         log_keys: list[str] | None = None,
         batch_tag: str | None = None,
         deletes: DataFrame | None = None,
+        agg_spec: dict | None = None,
     ) -> dict:
         """Append a DELTA segment to a log table — per-call IO is
         proportional to the delta, never to accumulated state (the
@@ -128,17 +129,27 @@ class TableIO:
         the union of all segments. With `log_keys` it is an upsert log:
         read() resolves latest-wins per key across segments, and
         `deletes` rows (same key columns) tombstone keys that no
-        longer exist (a merged-away canonical vertex).
+        longer exist (a merged-away canonical vertex). With `agg_spec`
+        ({"keys": [...], "sum": [...], "min": [...], "max": [...]})
+        it is an AGGREGATION log: read() merges segments with the
+        commutative-associative aggregates named per column — additive
+        state like edge support counts never needs a rewrite, only a
+        delta append (compact() stays valid because the merge is
+        associative).
 
         `batch_tag` marks every segment written for one source batch so
         a crashed half-applied batch can be rolled back exactly with
         prune_batch() before replay (exactly-once on top of an
         at-least-once foreachBatch)."""
+        if agg_spec is not None and log_keys is not None:
+            raise ValueError("log_keys and agg_spec are exclusive")
         prev = self.manifest(table)
         if prev is not None and prev.get("kind") != "log":
             raise ValueError(f"{table} is not a log table")
         if prev is not None and prev.get("log_keys") != (log_keys or []):
             raise ValueError(f"{table}: log_keys mismatch")
+        if prev is not None and prev.get("agg_spec") != agg_spec:
+            raise ValueError(f"{table}: agg_spec mismatch")
         version = (prev["version"] + 1) if prev else 1
         seg = df.withColumn("_del", F.lit(False))
         if deletes is not None:
@@ -170,6 +181,7 @@ class TableIO:
             "version": version,
             "rows": sum(s["rows"] for s in segments),
             "log_keys": log_keys or [],
+            "agg_spec": agg_spec,
             "schema": df.schema.jsonValue(),
             "segments": segments,
         }
@@ -245,6 +257,7 @@ class TableIO:
         ]
         df = spark.read.parquet(*paths)
         keys = m.get("log_keys") or []
+        agg = m.get("agg_spec")
         if keys:
             from pyspark.sql import Window
 
@@ -255,6 +268,14 @@ class TableIO:
                 .where(~F.col("_del"))
                 .drop("_rn")
             )
+        elif agg:
+            exprs = (
+                [F.sum(c).alias(c) for c in agg.get("sum", [])]
+                + [F.min(c).alias(c) for c in agg.get("min", [])]
+                + [F.max(c).alias(c) for c in agg.get("max", [])]
+            )
+            df = df.groupBy(*agg["keys"]).agg(*exprs)
+            return df  # aggregation drops _seg/_del already
         return df.drop("_seg", "_del")
 
     def expire_snapshots(self, table: str, keep: int = 2) -> None:

@@ -684,10 +684,13 @@ def canonicalize(nodes: DataFrame, labels: DataFrame):
 # --- materialize -------------------------------------------------------------
 
 
-def materialize_edges(triples_raw: DataFrame, dict_df: DataFrame,
-                      entity_map: DataFrame) -> DataFrame:
-    """Canonical edges (A.8/A.9): triples re-keyed through the
-    mention→canonical map, weight = support count."""
+def triples_node_keyed(triples_raw: DataFrame,
+                       dict_df: DataFrame) -> DataFrame:
+    """Triples keyed by STABLE node ids (dict entity / provisional /
+    tool) — node ids never change as the corpus grows, unlike
+    canonical ids which move when components merge. This is the
+    stateless per-batch half of edge materialization; the canonical
+    re-key happens in edges_canonical."""
     dic_s = dict_df.select(
         F.col("etype").alias("s_etype"), F.col("alias").alias("s_alias"),
         F.col("entity_id").alias("s_ent"),
@@ -696,7 +699,7 @@ def materialize_edges(triples_raw: DataFrame, dict_df: DataFrame,
         F.col("etype").alias("o_etype"), F.col("alias").alias("o_alias"),
         F.col("entity_id").alias("o_ent"),
     )
-    tr = (
+    return (
         triples_raw.withColumn("subj_norm", normalize_surface("subj_surface"))
         .withColumn("obj_norm", normalize_surface("obj_surface"))
         .join(
@@ -726,13 +729,33 @@ def materialize_edges(triples_raw: DataFrame, dict_df: DataFrame,
                                        F.col("obj_norm")))),
         )
     )
+
+
+def edges_partial(keyed: DataFrame) -> DataFrame:
+    """Node-keyed partial edge aggregate. weight/first_ts/last_ts are
+    sum/min/max — commutative-associative, so partials from disjoint
+    batches merge into exactly the full-data aggregate (this is what
+    makes the streaming edges_raw an append-only aggregation log)."""
+    return keyed.groupBy("subj_node", "pred", "obj_node").agg(
+        F.count("*").alias("weight"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def edges_canonical(partial: DataFrame,
+                    entity_map: DataFrame) -> DataFrame:
+    """Re-key node-level partial edges through the CURRENT canonical
+    map and merge: canonical ids move when components merge, so this
+    is a view over the stable node-keyed state, never a stored table
+    that would need rewriting on a merge."""
     map_s = entity_map.select(F.col("node_id").alias("sn"),
                               F.col("canonical_id").alias("subj_id"))
     map_o = entity_map.select(F.col("node_id").alias("on"),
                               F.col("canonical_id").alias("obj_canon"))
     keyed = (
-        tr.join(map_s, tr.subj_node == map_s.sn)
-        .join(map_o, tr.obj_node == map_o.on, "left")
+        partial.join(map_s, partial.subj_node == map_s.sn)
+        .join(map_o, partial.obj_node == map_o.on, "left")
         .withColumn(
             "obj_id",
             F.when(F.col("pred") == "uses_tool", F.col("obj_node"))
@@ -740,9 +763,19 @@ def materialize_edges(triples_raw: DataFrame, dict_df: DataFrame,
         )
     )
     return keyed.groupBy("subj_id", "pred", "obj_id").agg(
-        F.count("*").alias("weight"),
-        F.min("ts").alias("first_ts"),
-        F.max("ts").alias("last_ts"),
+        F.sum("weight").alias("weight"),
+        F.min("first_ts").alias("first_ts"),
+        F.max("last_ts").alias("last_ts"),
+    )
+
+
+def materialize_edges(triples_raw: DataFrame, dict_df: DataFrame,
+                      entity_map: DataFrame) -> DataFrame:
+    """Canonical edges (A.8/A.9): triples re-keyed through the
+    mention→canonical map, weight = support count."""
+    return edges_canonical(
+        edges_partial(triples_node_keyed(triples_raw, dict_df)),
+        entity_map,
     )
 
 

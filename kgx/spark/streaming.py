@@ -110,7 +110,14 @@ def run_available_now(query_df: DataFrame, checkpoint_dir: str,
 
 
 CANON_TABLES = ("nodes", "lsh_edges", "cc_labels", "entity_map",
-                "cc_vertices")
+                "cc_vertices", "edges_raw")
+
+EDGES_AGG_SPEC = {
+    "keys": ["subj_node", "pred", "obj_node"],
+    "sum": ["weight"],
+    "min": ["first_ts"],
+    "max": ["last_ts"],
+}
 
 
 def _canon_marker_path(io) -> str:
@@ -142,10 +149,29 @@ def _canon_mark_applied(io, batch_id: int) -> None:
 
 
 def incremental_canon_updater(spark: SparkSession, warehouse: str,
-                              dict_df: DataFrame, compact_every: int = 0):
-    """foreachBatch sink that streams the KG GRAPH forward: each
-    micro-batch of mentions is merged into the accumulated canonical
-    node state (B.9 'incremental link/canon').
+                              dict_df: DataFrame, tag_spans_udf=None,
+                              patterns_rows: list | None = None,
+                              compact_every: int = 0):
+    """foreachBatch sink that streams the WHOLE KG forward: each
+    micro-batch of raw turns is tagged in-batch, its mentions merged
+    into the accumulated canonical node state (B.9 'incremental
+    link/canon'), and its triples folded into an ADDITIVE node-keyed
+    edge log (incremental edge materialization).
+
+    Edge materialization is split on the mutability boundary: the
+    stored state (edges_raw) is keyed by STABLE node ids with
+    sum/min/max aggregates — a pure aggregation log whose per-batch
+    delta is the batch's own partial aggregate — while canonical ids,
+    which MOVE when components merge, are applied as a re-key VIEW
+    (canonical_edges) over that state. Storing canonical-keyed edges
+    would force a rewrite of every edge of every merged component per
+    batch; the node-keyed log never rewrites anything.
+
+    uses_tool triples take each conversation's first PER mention as
+    the speaker, so the arrival unit must be whole conversations (a
+    transcript file of finished convs — the natural production unit);
+    a conv split across micro-batches could pick a later speaker
+    than the batch pipeline would.
 
     Per-batch COMPUTE and IO are both proportional to the batch, not
     to accumulated history:
@@ -183,16 +209,31 @@ def incremental_canon_updater(spark: SparkSession, warehouse: str,
 
     io = TableIO(warehouse)
 
-    def update(mentions_batch: DataFrame, batch_id: int) -> None:
+    def update(turns_batch: DataFrame, batch_id: int) -> None:
         applied = canon_last_applied(io)
         if batch_id <= applied:
             return  # replay of a fully-committed batch: no-op
         tag = f"b{batch_id}"
         for tbl in CANON_TABLES:
             io.prune_batch(tbl, tag)  # roll back a crashed half-apply
-        if mentions_batch.isEmpty():
+        clean = turns_batch.where(
+            F.col("text").isNotNull()
+            & (F.length(F.trim(F.col("text"))) > 0)
+        )
+        if clean.isEmpty():
             _canon_mark_applied(io, batch_id)
             return
+        tagged = stages.tag_spans(clean, tag_spans_udf).localCheckpoint()
+        mentions_batch = stages.mentions_of(tagged)
+
+        def append_edge_delta() -> None:
+            triples = stages.extract(tagged, patterns_rows or [])
+            delta = stages.edges_partial(
+                stages.triples_node_keyed(triples, dict_df)
+            )
+            io.append(delta, "edges_raw", agg_spec=EDGES_AGG_SPEC,
+                      batch_tag=tag)
+
         nodes_b = stages.link_nodes(mentions_batch, dict_df)
 
         if applied < 0:
@@ -214,6 +255,7 @@ def incremental_canon_updater(spark: SparkSession, warehouse: str,
                       batch_tag=tag)
             io.append(cc_vertices, "cc_vertices",
                       log_keys=["entity_id"], batch_tag=tag)
+            append_edge_delta()
             _canon_mark_applied(io, batch_id)
             return
 
@@ -228,6 +270,8 @@ def incremental_canon_updater(spark: SparkSession, warehouse: str,
             .localCheckpoint()
         )
         if new_only.isEmpty():
+            # no graph change, but the batch's triples still count
+            append_edge_delta()
             _canon_mark_applied(io, batch_id)
             return
         io.append(new_only, "nodes", batch_tag=tag)
@@ -308,6 +352,7 @@ def incremental_canon_updater(spark: SparkSession, warehouse: str,
                   batch_tag=tag)
         io.append(cv_delta, "cc_vertices", log_keys=["entity_id"],
                   batch_tag=tag, deletes=tombstones)
+        append_edge_delta()
         _canon_mark_applied(io, batch_id)
         if compact_every and (batch_id + 1) % compact_every == 0:
             for tbl in CANON_TABLES:
@@ -319,26 +364,39 @@ def incremental_canon_updater(spark: SparkSession, warehouse: str,
 def run_incremental_canon(spark: SparkSession, arrivals_dir: str,
                           checkpoint_dir: str, warehouse: str,
                           tag_spans_udf, dict_df: DataFrame,
+                          patterns_rows: list | None = None,
                           max_files_per_trigger: int = 1,
                           compact_every: int = 0):
     """Drain currently-available transcript files through the
-    incremental link/canon path (Trigger.AvailableNow); restarting
-    with the same checkpoint processes only files that arrived in
-    between, merging them into the same warehouse state."""
+    incremental link/canon/edge path (Trigger.AvailableNow);
+    restarting with the same checkpoint processes only files that
+    arrived in between, merging them into the same warehouse state."""
     turns = stream_transcripts(
         spark, arrivals_dir,
         max_files_per_trigger=max_files_per_trigger)
-    mentions = stream_mentions(turns, tag_spans_udf)
     q = (
-        mentions.writeStream
+        turns.writeStream
         .foreachBatch(incremental_canon_updater(
-            spark, warehouse, dict_df, compact_every=compact_every))
+            spark, warehouse, dict_df, tag_spans_udf,
+            patterns_rows=patterns_rows, compact_every=compact_every))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return q
+
+
+def canonical_edges(spark: SparkSession, warehouse: str) -> DataFrame:
+    """Canonical KG edges as a VIEW over the streamed state: the
+    additive node-keyed edges_raw log re-keyed through the current
+    entity_map (stages.edges_canonical). Equals the batch pipeline's
+    edges table on the same data — tests/test_streaming_canon.py."""
+    from kgx.spark.io import TableIO
+
+    io = TableIO(warehouse)
+    return stages.edges_canonical(io.read(spark, "edges_raw"),
+                                  io.read(spark, "entity_map"))
 
 
 def conv_state_tracker(turns: DataFrame, timeout_ms: int = 0) -> DataFrame:

@@ -37,10 +37,14 @@ def test_incremental_canon_equals_batch(spark, t1_dir, tmp_path):
     dict_df = stages.dict_latest(
         spark.read.parquet(f"{t1_dir}/alias_dict.parquet")
     )
+    patterns = [
+        r.asDict()
+        for r in spark.read.parquet(f"{t1_dir}/patterns.parquet").collect()
+    ]
     wh = str(tmp_path / "wh")
     streaming.run_incremental_canon(
         spark, str(arrivals), str(tmp_path / "ckpt"), wh, udf, dict_df,
-        max_files_per_trigger=1,
+        patterns_rows=patterns, max_files_per_trigger=1,
     )
 
     io = TableIO(wh)
@@ -83,6 +87,18 @@ def test_incremental_canon_equals_batch(spark, t1_dir, tmp_path):
     }
     assert got_e == want_e
 
+    # canonical KG edges: the additive node-keyed edges_raw log
+    # re-keyed through the current entity_map equals the batch
+    # pipeline's materialized edges (weights, first/last ts included)
+    def edge_key(r):
+        return (r["subj_id"], r["pred"], r["obj_id"], r["weight"],
+                r["first_ts"], r["last_ts"])
+
+    got_kg = {edge_key(r)
+              for r in streaming.canonical_edges(spark, wh).collect()}
+    want_kg = {edge_key(r) for r in batch["edges"].collect()}
+    assert got_kg == want_kg
+
     # per-batch write volume is O(batch), not O(history): the node log
     # never rewrites a node (segment rows sum to the state size), and
     # the second batch's label/map/vertex deltas are strictly smaller
@@ -100,41 +116,27 @@ def test_incremental_canon_equals_batch(spark, t1_dir, tmp_path):
             f"smaller than state ({state_rows} rows) — full rewrite?")
 
     # compaction folds the logs back to one segment per table without
-    # changing the resolved view
-    for tbl in ("nodes", "lsh_edges", "cc_labels", "entity_map",
-                "cc_vertices"):
+    # changing the resolved views (upsert AND aggregation logs)
+    for tbl in streaming.CANON_TABLES:
         io.compact(spark, tbl)
         assert len(io.manifest(tbl)["segments"]) == 1
     assert {
         (r["node_id"], r["canonical_id"])
         for r in io.read(spark, "entity_map").collect()
     } == want_map
+    assert {edge_key(r)
+            for r in streaming.canonical_edges(spark, wh).collect()
+            } == want_kg
 
 
-def _mentions_of(spark, t1_dir, pred):
+def _turns_of(spark, t1_dir, pred):
     from pyspark.sql import functions as F
 
-    from kgx.spark.udfs import make_tagger_spans_udf
-
-    udf = make_tagger_spans_udf(
-        spark, TaggerArtifact.load(f"{t1_dir}/tagger_v1.npz")
-    )
-    turns = (
+    return (
         spark.read.parquet(f"{t1_dir}/transcripts.parquet")
-        .where(F.col("text").isNotNull()
-               & (F.length(F.trim("text")) > 0))
         .where(pred)
+        .localCheckpoint()
     )
-    tagged = stages.tag_spans(turns, udf)
-    return tagged.select(
-        "conv_id", "turn_idx", "ts", F.explode("spans").alias("sp")
-    ).select(
-        "conv_id", "turn_idx", "ts",
-        F.col("sp.begin").alias("begin"),
-        F.col("sp.end").alias("end"),
-        F.col("sp.surface").alias("surface"),
-        F.col("sp.etype").alias("etype"),
-    ).localCheckpoint()
 
 
 def test_incremental_canon_crash_replay(spark, t1_dir, tmp_path,
@@ -145,15 +147,25 @@ def test_incremental_canon_crash_replay(spark, t1_dir, tmp_path,
     a replay of an already-committed batch must be a no-op."""
     from pyspark.sql import functions as F
 
+    from kgx.spark.udfs import make_tagger_spans_udf
+
     cut = "c000020"
-    m0 = _mentions_of(spark, t1_dir, F.col("conv_id") < cut)
-    m1 = _mentions_of(spark, t1_dir, F.col("conv_id") >= cut)
+    m0 = _turns_of(spark, t1_dir, F.col("conv_id") < cut)
+    m1 = _turns_of(spark, t1_dir, F.col("conv_id") >= cut)
     dict_df = stages.dict_latest(
         spark.read.parquet(f"{t1_dir}/alias_dict.parquet")
     )
+    udf = make_tagger_spans_udf(
+        spark, TaggerArtifact.load(f"{t1_dir}/tagger_v1.npz")
+    )
+    patterns = [
+        r.asDict()
+        for r in spark.read.parquet(f"{t1_dir}/patterns.parquet").collect()
+    ]
 
     wh = str(tmp_path / "wh")
-    update = streaming.incremental_canon_updater(spark, wh, dict_df)
+    update = streaming.incremental_canon_updater(
+        spark, wh, dict_df, udf, patterns_rows=patterns)
     update(m0, 0)
     io = TableIO(wh)
     assert streaming.canon_last_applied(io) == 0
