@@ -2030,25 +2030,60 @@ def text_tokens(spark, sf):
     )
 
 
-@op("text_fingerprint", None)
+FP_BASE = 131
+
+
+def _text_fingerprint_sql() -> str:
+    """DuckDB twin of the rolling fingerprint. Horner's fold
+    h = (h*B + c) % p equals the order-independent sum
+    SUM(c_i * B^(L-1-i)) mod p, which SQL can evaluate with a
+    recursive powers table + per-character unnest; every term and
+    partial sum stays far below 2^62 (BIGINT-safe)."""
+    from kgx.contract import DOC_PRIME
+
+    return f"""
+    WITH RECURSIVE pw(i, v) AS (
+      SELECT 0, CAST(1 AS BIGINT)
+      UNION ALL
+      SELECT i + 1, (v * {FP_BASE}) % {DOC_PRIME} FROM pw
+      WHERE i < (SELECT coalesce(max(length(coalesce(text, ''))), 0)
+                 FROM documents)),
+    d AS (SELECT doc_id, coalesce(text, '') AS tx FROM documents),
+    ch AS (SELECT doc_id, length(tx) AS L, CAST(u.pos AS BIGINT) AS pos,
+                  unicode(substr(tx, CAST(u.pos AS INT) + 1, 1)) AS code
+           FROM d, UNNEST(range(0, length(tx))) AS u(pos)),
+    fp AS (SELECT ch.doc_id,
+                  SUM((ch.code * pw.v) % {DOC_PRIME}) % {DOC_PRIME}
+                    AS fp
+           FROM ch JOIN pw ON pw.i = ch.L - 1 - ch.pos
+           GROUP BY ch.doc_id)
+    SELECT d.doc_id, CAST(coalesce(fp.fp, 0) AS BIGINT) AS fp
+    FROM d LEFT JOIN fp ON fp.doc_id = d.doc_id
+    """
+
+
+@op("text_fingerprint", _text_fingerprint_sql())
 def text_fingerprint(spark, sf):
-    """Rolling polynomial fingerprint (Rabin-style, uint64 wraparound)
-    per document — deterministic but not SQL-expressible, rows-only +
-    pytest. Fully vectorized: documents are length-sorted into chunks,
-    each chunk's codepoints become one [rows x len] uint32 matrix, and
-    the Horner fold runs one numpy op per character POSITION (not per
-    character) across the whole chunk."""
+    """Rolling polynomial fingerprint per document, Horner fold
+    h = (h*131 + codepoint) % DOC_PRIME — modular arithmetic instead
+    of uint64 wraparound, so the identical value is computable in
+    DuckDB (value-hash checked) and any other engine. Fully
+    vectorized: documents are length-sorted into chunks, each chunk's
+    codepoints become one [rows x len] uint32 matrix, and the fold
+    runs one numpy op per character POSITION (not per character)
+    across the whole chunk."""
     import pandas as pd
     from pyspark.sql import types as T
 
-    BASE = np.uint64(1099511628211)
+    from kgx.contract import DOC_PRIME
+
     CHUNK = 2048
 
     @F.pandas_udf(T.LongType())
     def fingerprint(texts: pd.Series) -> pd.Series:
         s = texts.fillna("").reset_index(drop=True)
         n = len(s)
-        out = np.zeros(n, dtype=np.uint64)
+        out = np.zeros(n, dtype=np.int64)
         if n:
             lens = s.str.len().to_numpy(np.int64)
             order = np.argsort(lens, kind="stable")
@@ -2062,14 +2097,17 @@ def text_fingerprint(spark, sf):
                 codes = (
                     arr.view(np.uint32)
                     .reshape(len(idx), tmax)
-                    .astype(np.uint64)
+                    .astype(np.int64)
                 )
-                h = np.zeros(len(idx), dtype=np.uint64)
+                h = np.zeros(len(idx), dtype=np.int64)
                 for pos in range(tmax):
                     active = clens > pos
-                    h[active] = h[active] * BASE + codes[active, pos]
+                    # h*131 + code < 2^31*131 + 2^21 — int64-safe
+                    h[active] = (
+                        h[active] * FP_BASE + codes[active, pos]
+                    ) % DOC_PRIME
                 out[idx] = h
-        return pd.Series(out.view(np.int64))
+        return pd.Series(out)
 
     return t(spark, sf, "documents").select(
         "doc_id", fingerprint("text").alias("fp")
@@ -2468,16 +2506,45 @@ def udtf_surface(spark, sf):
     )
 
 
-@op("graph_triangle_free_check", None)
+@op(
+    "graph_triangle_free_check",
+    """
+    WITH und AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey)
+    SELECT count(*) AS n_triangles
+    FROM und ab
+    JOIN und bc ON bc.src = ab.dst
+    JOIN und ac ON ac.src = ab.src AND ac.dst = bc.dst
+    """,
+)
 def graph_triangle_free_check(spark, sf):
-    """Triangle count on the fixture LSH-similarity graph via two
-    self-joins (a<b<c canonical ordering). The alias graph should be
-    near-triangle-free (similarity edges are sparse); returns one row
-    with the count either way."""
-    lsh = _pipeline(spark)["lsh_edges"]
-    und = lsh.select("src", "dst").unionByName(
-        lsh.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).where(F.col("src") < F.col("dst")).distinct()
+    """Triangle count via two self-joins (a<b<c canonical ordering) on
+    the supplier co-occurrence graph (suppliers sharing an order in
+    lineitem) — the same plan shape the pipeline's alias-graph sanity
+    check uses, here on a driver table so the count is value-hash
+    checked against DuckDB. Edges are oriented src<dst so each
+    triangle is counted exactly once."""
+    s = (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = s.alias("a"), s.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
     ab = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = und.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     ac = und.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -2528,7 +2595,8 @@ _CHECK_FIRST = [
     # never driver-sampled before round 3
     "fn_conditional", "fn_map",
     # new value-hash oracles this round
-    "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_minhash_lsh", "dedup_simhash", "graph_triangle_free_check",
+    "text_fingerprint",
     # round-1-only greens (rotated out of the r2 window)
     "project_select", "filter_pred", "derive_cols", "filter_null_safe",
     "join_sort_merge", "join_left_outer", "join_left_semi",
@@ -2548,8 +2616,8 @@ _CHECK_FIRST = [
     "pipe_mentions", "pipe_triples_raw", "pipe_links", "pipe_edges",
     "pipe_vertices",
     # heavy value-checked representatives
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "ann_cosine_topk", "graph_connected_components",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "graph_connected_components",
 ]
 
 

@@ -182,8 +182,10 @@ def test_simhash_star_guard_keeps_giant_cluster(spark, tmp_path):
 
 def test_fingerprint_matches_scalar_reference(spark):
     """The chunked/length-sorted vectorized Horner fold must equal the
-    obvious one-char-at-a-time uint64 reference."""
-    from kgx.harness import text_fingerprint
+    obvious one-char-at-a-time modular reference (the same value the
+    DuckDB oracle computes via the powers-table sum form)."""
+    from kgx.contract import DOC_PRIME
+    from kgx.harness import FP_BASE, text_fingerprint
 
     got = {
         r["doc_id"]: r["fp"]
@@ -194,12 +196,8 @@ def test_fingerprint_matches_scalar_reference(spark):
         .select("doc_id", "text")
         .collect()
     )
-    base = 1099511628211
-    mask = (1 << 64) - 1
     for r in docs:
         h = 0
         for ch in r["text"] or "":
-            h = (h * base + ord(ch)) & mask
-        if h >= 1 << 63:
-            h -= 1 << 64
+            h = (h * FP_BASE + ord(ch)) % DOC_PRIME
         assert got[r["doc_id"]] == h, r["doc_id"]
