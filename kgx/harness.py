@@ -1765,24 +1765,14 @@ def ann_cosine_topk(spark, sf):
     )
 
 
-def _emb_lsh_sql() -> str:
-    """DuckDB twin of the hyperplane-LSH-blocked embedding dedup.
+def _hp_bands_cte() -> str:
+    """Shared DuckDB CTE chain producing `bands(vec_id, bk)` — the
+    integer hyperplane sketch of every embedding (bit-identical to
+    contract.hp_band_keys_np). Used by both the embedding-dedup oracle
+    and the ann_lsh_bucket oracle."""
+    from kgx.contract import EMB_DIM, EMB_QUANT, HP_BITS, HP_PLANES
 
-    The plane weights and sign bits are integer arithmetic on
-    floor(x*1024)-quantized components (contract.hyperplane_weights /
-    hp_band_keys_np), so the blocking keys are bit-identical across
-    engines — a float dot product's summation order could flip a sign
-    at the boundary and desync the candidate sets."""
-    from kgx.contract import (
-        COSINE_TAU,
-        EMB_DIM,
-        EMB_QUANT,
-        HP_BITS,
-        HP_PLANES,
-    )
-
-    return f"""
-    WITH d AS (SELECT vec_id,
+    return f"""d AS (SELECT vec_id,
                       list_transform(embedding,
                         x -> CAST(floor(CAST(x AS DOUBLE) * {EMB_QUANT})
                                   AS BIGINT)) AS q
@@ -1804,7 +1794,21 @@ def _emb_lsh_sql() -> str:
                               THEN CAST(pow(2, b % {HP_BITS}) AS BIGINT)
                               ELSE 0 END) AS bits
               FROM dots GROUP BY vec_id, b // {HP_BITS}),
-    bands AS (SELECT vec_id, g * {1 << HP_BITS} + bits AS bk FROM bkeys),
+    bands AS (SELECT vec_id, g * {1 << HP_BITS} + bits AS bk FROM bkeys)"""
+
+
+def _emb_lsh_sql() -> str:
+    """DuckDB twin of the hyperplane-LSH-blocked embedding dedup.
+
+    The plane weights and sign bits are integer arithmetic on
+    floor(x*1024)-quantized components (contract.hyperplane_weights /
+    hp_band_keys_np), so the blocking keys are bit-identical across
+    engines — a float dot product's summation order could flip a sign
+    at the boundary and desync the candidate sets."""
+    from kgx.contract import COSINE_TAU
+
+    return f"""
+    WITH {_hp_bands_cte()},
     sizes AS (SELECT bk, count(*) AS n, min(vec_id) AS mn
               FROM bands GROUP BY bk),
     cand AS (
@@ -1945,14 +1949,23 @@ def ann_ivf_topk(spark, sf):
     )
 
 
-@op("ann_lsh_bucket", None)
+def _ann_lsh_bucket_sql() -> str:
+    return f"""
+    WITH {_hp_bands_cte()}
+    SELECT CAST(bk AS INTEGER) AS bucket, count(*) AS n,
+           min(vec_id) AS min_vec
+    FROM bands GROUP BY bk
+    """
+
+
+@op("ann_lsh_bucket", _ann_lsh_bucket_sql())
 def ann_lsh_bucket(spark, sf):
     """Hyperplane-LSH bucketing (the blocking primitive behind
     dedup_embedding_cosine): the shared integer-sketch band keys
     (contract.hp_band_keys_np — one numpy matmul per Arrow batch, no
-    per-row Python), bucket histogram per band key. Engine-portable
-    but rows-only here; the full blocked pipeline is value-checked by
-    dedup_embedding_cosine's oracle."""
+    per-row Python), bucket histogram per band key — value-hash
+    checked against the same integer sketch in DuckDB
+    (_hp_bands_cte)."""
     from kgx.spark.udfs import hp_band_keys
 
     return (
@@ -2596,7 +2609,7 @@ _CHECK_FIRST = [
     "fn_conditional", "fn_map",
     # new value-hash oracles this round
     "dedup_minhash_lsh", "dedup_simhash", "graph_triangle_free_check",
-    "text_fingerprint",
+    "text_fingerprint", "ann_lsh_bucket",
     # round-1-only greens (rotated out of the r2 window)
     "project_select", "filter_pred", "derive_cols", "filter_null_safe",
     "join_sort_merge", "join_left_outer", "join_left_semi",
@@ -2616,8 +2629,7 @@ _CHECK_FIRST = [
     "pipe_mentions", "pipe_triples_raw", "pipe_links", "pipe_edges",
     "pipe_vertices",
     # heavy value-checked representatives
-    "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "graph_connected_components",
+    "dedup_embedding_cosine", "graph_connected_components",
 ]
 
 
