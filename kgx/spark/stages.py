@@ -235,15 +235,13 @@ transform(sequence(1, size(spans) - 1), i -> struct(
 """
 
 
-def extract(tagged: DataFrame, patterns_rows: list[dict]) -> DataFrame:
-    """A.6 relation extraction, fully partition-local + codegen.
-
-    Consecutive mention pairs come from a higher-order `transform` over
-    the spans array (no self-join); the first matching pattern (lowest
-    pred lexicographically) is a WHEN chain of literal regexes.
-    `uses_tool` triples join each tool turn to the conversation's first
-    PER mention (window, conv_id-local).
-    """
+def rel_triples(tagged: DataFrame, patterns_rows: list[dict]) -> DataFrame:
+    """A.6 pattern relations only (no uses_tool), fully partition-local
+    + codegen: consecutive mention pairs from a higher-order
+    `transform` over the spans array (no self-join); first matching
+    pattern (lowest pred lexicographically) as a WHEN chain of literal
+    regexes. Per-turn — independent of conversation grouping, which is
+    what lets the streaming path emit these per micro-batch."""
     pats = sorted(patterns_rows, key=lambda p: p["pred"])
 
     pairs = (
@@ -272,7 +270,7 @@ def extract(tagged: DataFrame, patterns_rows: list[dict]) -> DataFrame:
         )
     pred_col = chain.otherwise(F.lit(None)) if chain is not None else pred_col
 
-    rel = (
+    return (
         pairs.withColumn("pred", pred_col)
         .where(F.col("pred").isNotNull())
         .select(
@@ -288,31 +286,57 @@ def extract(tagged: DataFrame, patterns_rows: list[dict]) -> DataFrame:
         )
     )
 
-    # uses_tool: speaker = first PER mention per conv by (turn_idx, begin)
-    w = Window.partitionBy("conv_id").orderBy("turn_idx", "begin")
-    speakers = (
+
+def conv_speakers_of(tagged: DataFrame) -> DataFrame:
+    """A.6 speaker per conversation = first PER mention by
+    (turn_idx, begin), as an ALGEBRAIC min-of-struct aggregate — the
+    min over any partition of a conv's turns composes to the global
+    min, so partials from micro-batches merge exactly (this is what
+    makes streaming uses_tool order-independent). Returns
+    (conv_id, sp struct<turn_idx,begin,surface>)."""
+    return (
         mentions_of(tagged)
         .where(F.col("etype") == "PER")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("conv_id", F.col("surface").alias("speaker_surface"))
+        .groupBy("conv_id")
+        .agg(F.min(F.struct("turn_idx", "begin", "surface")).alias("sp"))
     )
-    tool_triples = (
-        tagged.where((F.col("role") == "tool") & F.col("tool").isNotNull())
-        .join(speakers, "conv_id")
-        .select(
-            "conv_id", "turn_idx",
-            F.col("speaker_surface").alias("subj_surface"),
-            F.lit("PER").alias("subj_etype"),
-            F.lit("uses_tool").alias("pred"),
-            F.col("tool").alias("obj_surface"),
-            F.lit("TOOL").alias("obj_etype"),
-            F.lit(-1).alias("subj_begin"),
-            F.lit(-1).alias("obj_begin"),
-            "ts",
-        )
+
+
+def tool_turns_of(tagged: DataFrame) -> DataFrame:
+    """Tool-invocation turns (the uses_tool raw facts)."""
+    return tagged.where(
+        (F.col("role") == "tool") & F.col("tool").isNotNull()
+    ).select("conv_id", "turn_idx", "tool", "ts")
+
+
+def tool_triples_from(tool_turns: DataFrame,
+                      speakers: DataFrame) -> DataFrame:
+    """uses_tool triples: each tool turn joined to its conversation's
+    speaker (same output schema as rel_triples)."""
+    sp = speakers.select(
+        "conv_id", F.col("sp.surface").alias("speaker_surface")
     )
-    return rel.unionByName(tool_triples)
+    return tool_turns.join(sp, "conv_id").select(
+        "conv_id", "turn_idx",
+        F.col("speaker_surface").alias("subj_surface"),
+        F.lit("PER").alias("subj_etype"),
+        F.lit("uses_tool").alias("pred"),
+        F.col("tool").alias("obj_surface"),
+        F.lit("TOOL").alias("obj_etype"),
+        F.lit(-1).alias("subj_begin"),
+        F.lit(-1).alias("obj_begin"),
+        "ts",
+    )
+
+
+def extract(tagged: DataFrame, patterns_rows: list[dict]) -> DataFrame:
+    """A.6 relation extraction: pattern relations + uses_tool triples
+    (composition of rel_triples / conv_speakers_of / tool_triples_from
+    — the same parts the streaming path applies incrementally)."""
+    rel = rel_triples(tagged, patterns_rows)
+    tool = tool_triples_from(tool_turns_of(tagged),
+                             conv_speakers_of(tagged))
+    return rel.unionByName(tool)
 
 
 # --- link -------------------------------------------------------------------

@@ -110,7 +110,8 @@ def run_available_now(query_df: DataFrame, checkpoint_dir: str,
 
 
 CANON_TABLES = ("nodes", "lsh_edges", "cc_labels", "entity_map",
-                "cc_vertices", "edges_raw")
+                "cc_vertices", "edges_raw", "tool_turns",
+                "conv_speakers")
 
 EDGES_AGG_SPEC = {
     "keys": ["subj_node", "pred", "obj_node"],
@@ -118,6 +119,8 @@ EDGES_AGG_SPEC = {
     "min": ["first_ts"],
     "max": ["last_ts"],
 }
+
+SPEAKERS_AGG_SPEC = {"keys": ["conv_id"], "min": ["sp"]}
 
 
 def _canon_marker_path(io) -> str:
@@ -167,11 +170,14 @@ def incremental_canon_updater(spark: SparkSession, warehouse: str,
     would force a rewrite of every edge of every merged component per
     batch; the node-keyed log never rewrites anything.
 
-    uses_tool triples take each conversation's first PER mention as
-    the speaker, so the arrival unit must be whole conversations (a
-    transcript file of finished convs — the natural production unit);
-    a conv split across micro-batches could pick a later speaker
-    than the batch pipeline would.
+    uses_tool triples are exact under ARBITRARY arrival order — even a
+    conversation split mid-way across micro-batches: the raw facts
+    (tool turns; per-batch first-PER-mention partials, whose
+    min-of-struct merge composes to the conversation's global first
+    mention) are logged per batch, and the speaker JOIN happens in the
+    canonical_edges view — so a speaker that only arrives in a later
+    batch retroactively keys every earlier tool turn of its
+    conversation, exactly as the batch pipeline would.
 
     Per-batch COMPUTE and IO are both proportional to the batch, not
     to accumulated history:
@@ -227,12 +233,22 @@ def incremental_canon_updater(spark: SparkSession, warehouse: str,
         mentions_batch = stages.mentions_of(tagged)
 
         def append_edge_delta() -> None:
-            triples = stages.extract(tagged, patterns_rows or [])
+            # pattern relations are per-turn facts: aggregate and fold
+            # into the additive edge log now. uses_tool triples need
+            # the conversation's GLOBAL first PER mention, so only the
+            # raw facts are logged (tool turns + the batch's speaker
+            # partial — min-of-struct merges across batches); the
+            # speaker join happens in the canonical_edges view.
+            triples = stages.rel_triples(tagged, patterns_rows or [])
             delta = stages.edges_partial(
                 stages.triples_node_keyed(triples, dict_df)
             )
             io.append(delta, "edges_raw", agg_spec=EDGES_AGG_SPEC,
                       batch_tag=tag)
+            io.append(stages.tool_turns_of(tagged), "tool_turns",
+                      batch_tag=tag)
+            io.append(stages.conv_speakers_of(tagged), "conv_speakers",
+                      agg_spec=SPEAKERS_AGG_SPEC, batch_tag=tag)
 
         nodes_b = stages.link_nodes(mentions_batch, dict_df)
 
@@ -387,16 +403,24 @@ def run_incremental_canon(spark: SparkSession, arrivals_dir: str,
     return q
 
 
-def canonical_edges(spark: SparkSession, warehouse: str) -> DataFrame:
+def canonical_edges(spark: SparkSession, warehouse: str,
+                    dict_df: DataFrame) -> DataFrame:
     """Canonical KG edges as a VIEW over the streamed state: the
-    additive node-keyed edges_raw log re-keyed through the current
-    entity_map (stages.edges_canonical). Equals the batch pipeline's
-    edges table on the same data — tests/test_streaming_canon.py."""
+    additive node-keyed edges_raw log, plus uses_tool edges derived
+    at read time from the tool-turn log joined to the merged
+    conversation speakers (so late-arriving speakers re-key earlier
+    tool turns), all re-keyed through the current entity_map. Equals
+    the batch pipeline's edges table on the same data under any
+    arrival split — tests/test_streaming_canon.py."""
     from kgx.spark.io import TableIO
 
     io = TableIO(warehouse)
-    return stages.edges_canonical(io.read(spark, "edges_raw"),
-                                  io.read(spark, "entity_map"))
+    tool = stages.tool_triples_from(io.read(spark, "tool_turns"),
+                                    io.read(spark, "conv_speakers"))
+    partial = io.read(spark, "edges_raw").unionByName(
+        stages.edges_partial(stages.triples_node_keyed(tool, dict_df))
+    )
+    return stages.edges_canonical(partial, io.read(spark, "entity_map"))
 
 
 def conv_state_tracker(turns: DataFrame, timeout_ms: int = 0) -> DataFrame:

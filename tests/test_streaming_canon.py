@@ -94,8 +94,10 @@ def test_incremental_canon_equals_batch(spark, t1_dir, tmp_path):
         return (r["subj_id"], r["pred"], r["obj_id"], r["weight"],
                 r["first_ts"], r["last_ts"])
 
-    got_kg = {edge_key(r)
-              for r in streaming.canonical_edges(spark, wh).collect()}
+    got_kg = {
+        edge_key(r)
+        for r in streaming.canonical_edges(spark, wh, dict_df).collect()
+    }
     want_kg = {edge_key(r) for r in batch["edges"].collect()}
     assert got_kg == want_kg
 
@@ -124,9 +126,64 @@ def test_incremental_canon_equals_batch(spark, t1_dir, tmp_path):
         (r["node_id"], r["canonical_id"])
         for r in io.read(spark, "entity_map").collect()
     } == want_map
-    assert {edge_key(r)
-            for r in streaming.canonical_edges(spark, wh).collect()
-            } == want_kg
+    assert {
+        edge_key(r)
+        for r in streaming.canonical_edges(spark, wh, dict_df).collect()
+    } == want_kg
+
+
+def test_incremental_edges_mid_conversation_split(spark, t1_dir,
+                                                  tmp_path):
+    """uses_tool needs each conversation's GLOBAL first PER mention;
+    splitting every conversation MID-WAY across two micro-batches is
+    the adversarial arrival order (a batch-local speaker pick would
+    diverge). The streamed state must still equal the batch pipeline
+    exactly, because speakers are merged min-of-struct partials and
+    the speaker join happens in the canonical_edges view."""
+    from pyspark.sql import functions as F
+
+    from kgx.spark.udfs import make_tagger_spans_udf
+
+    med = 4  # t1 convs are longer than this -> every conv splits
+    b0 = _turns_of(spark, t1_dir, F.col("turn_idx") < med)
+    b1 = _turns_of(spark, t1_dir, F.col("turn_idx") >= med)
+    assert b0.count() and b1.count()
+    dict_df = stages.dict_latest(
+        spark.read.parquet(f"{t1_dir}/alias_dict.parquet")
+    )
+    udf = make_tagger_spans_udf(
+        spark, TaggerArtifact.load(f"{t1_dir}/tagger_v1.npz")
+    )
+    patterns = [
+        r.asDict()
+        for r in spark.read.parquet(f"{t1_dir}/patterns.parquet").collect()
+    ]
+    wh = str(tmp_path / "wh")
+    update = streaming.incremental_canon_updater(
+        spark, wh, dict_df, udf, patterns_rows=patterns)
+    update(b0, 0)
+    update(b1, 1)
+
+    def edge_key(r):
+        return (r["subj_id"], r["pred"], r["obj_id"], r["weight"],
+                r["first_ts"], r["last_ts"])
+
+    got = {
+        edge_key(r)
+        for r in streaming.canonical_edges(spark, wh, dict_df).collect()
+    }
+    batch = run_fixture_pipeline(spark, t1_dir, buckets=8)
+    want = {edge_key(r) for r in batch["edges"].collect()}
+    assert got == want
+    # and the split really exercised cross-batch speakers: some conv
+    # has its tool turn and its speaker mention in different batches
+    io = TableIO(wh)
+    tools_b0 = {
+        r["conv_id"]
+        for r in io.read(spark, "tool_turns")
+        .where(F.col("turn_idx") < med).select("conv_id").collect()
+    }
+    assert tools_b0, "no tool turns in the first batch"
 
 
 def _turns_of(spark, t1_dir, pred):
