@@ -146,6 +146,17 @@ def main() -> None:
         "turns_per_sec": turns_per_sec,
         "rows": rows,
     }
+    # surface the two-parallelism-level scaling evidence (north rule)
+    # if a scaling run has been recorded (scripts/scaling_bench.py)
+    scaling_path = os.path.join(REPO, "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            sc = json.load(f)
+        out["scaling_efficiency_N_vs_4N"] = sc.get("value")
+        out["scaling_levels_turns_per_sec"] = {
+            k: v.get("turns_per_sec")
+            for k, v in sc.get("levels", {}).items()
+        }
     print(json.dumps(out))
     spark.stop()
 
