@@ -7,6 +7,16 @@ A manifest records what Iceberg's snapshot metadata would: inputs
 fingerprint, row count, schema, completion marker — which is exactly
 what stage-level checkpoint/resume needs (BASELINE north_rule:
 "resumable from checkpoint with per-partition lineage + metrics").
+
+Two table kinds:
+  * snapshot tables (write/finalize): every write is a full immutable
+    snapshot `_v{n}`; reads see the current one; old ones expire.
+  * log tables (append): every write is a DELTA segment; reads resolve
+    the merged view — plain union, latest-wins-per-key with tombstones
+    (upsert log), or per-key sum/min/max (aggregation log). Segments
+    carry a batch tag for exactly-once rollback (prune_batch) and are
+    bounded by amortized compact(). This is what keeps the streaming
+    incremental-canon path's per-batch IO proportional to the batch.
 """
 
 from __future__ import annotations

@@ -1,0 +1,101 @@
+"""TableIO log-table contract, in isolation: append/upsert/aggregation
+merge semantics, tombstones, batch-tag rollback, and compaction. The
+streaming tests cover these end-to-end; this pins the primitive's
+behavior directly so refactors can't silently weaken it."""
+
+import pytest
+
+from kgx.spark.io import TableIO
+
+
+def _rows(df, *cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_plain_append_log_unions_segments(spark, tmp_path):
+    io = TableIO(str(tmp_path))
+    io.append(spark.createDataFrame([(1, "a")], "id int, v string"),
+              "t", batch_tag="b0")
+    io.append(spark.createDataFrame([(2, "b")], "id int, v string"),
+              "t", batch_tag="b1")
+    assert _rows(io.read(spark, "t"), "id", "v") == {(1, "a"), (2, "b")}
+    assert [s["batch_tag"] for s in io.manifest("t")["segments"]] == [
+        "b0", "b1"]
+
+
+def test_upsert_log_latest_wins_and_tombstones(spark, tmp_path):
+    io = TableIO(str(tmp_path))
+    io.append(spark.createDataFrame([(1, "a"), (2, "b")],
+                                    "id int, v string"),
+              "t", log_keys=["id"], batch_tag="b0")
+    # b1: update key 1, delete key 2, insert key 3
+    io.append(
+        spark.createDataFrame([(1, "A"), (3, "c")], "id int, v string"),
+        "t", log_keys=["id"], batch_tag="b1",
+        deletes=spark.createDataFrame([(2,)], "id int"),
+    )
+    assert _rows(io.read(spark, "t"), "id", "v") == {(1, "A"), (3, "c")}
+    # a later re-insert resurrects a tombstoned key
+    io.append(spark.createDataFrame([(2, "B")], "id int, v string"),
+              "t", log_keys=["id"], batch_tag="b2")
+    assert _rows(io.read(spark, "t"), "id", "v") == {
+        (1, "A"), (2, "B"), (3, "c")}
+
+
+def test_agg_log_merges_sum_min_max(spark, tmp_path):
+    io = TableIO(str(tmp_path))
+    spec = {"keys": ["k"], "sum": ["n"], "min": ["lo"], "max": ["hi"]}
+    io.append(spark.createDataFrame([("x", 2, 5, 7), ("y", 1, 1, 1)],
+                                    "k string, n long, lo long, hi long"),
+              "t", agg_spec=spec, batch_tag="b0")
+    io.append(spark.createDataFrame([("x", 3, 2, 9)],
+                                    "k string, n long, lo long, hi long"),
+              "t", agg_spec=spec, batch_tag="b1")
+    assert _rows(io.read(spark, "t"), "k", "n", "lo", "hi") == {
+        ("x", 5, 2, 9), ("y", 1, 1, 1)}
+
+
+def test_prune_batch_rolls_back_exactly(spark, tmp_path):
+    io = TableIO(str(tmp_path))
+    io.append(spark.createDataFrame([(1,)], "id int"), "t",
+              batch_tag="b0")
+    io.append(spark.createDataFrame([(2,)], "id int"), "t",
+              batch_tag="b1")
+    assert io.prune_batch("t", "b1") == 1
+    assert _rows(io.read(spark, "t"), "id") == {(1,)}
+    # pruning the only segment removes the table entirely
+    assert io.prune_batch("t", "b0") == 1
+    assert io.manifest("t") is None
+
+
+def test_compact_preserves_views_and_bounds_segments(spark, tmp_path):
+    io = TableIO(str(tmp_path))
+    spec = {"keys": ["k"], "sum": ["n"], "min": [], "max": []}
+    for i in range(4):
+        io.append(spark.createDataFrame([("x", 1), (f"k{i}", 1)],
+                                        "k string, n long"),
+                  "t", agg_spec=spec, batch_tag=f"b{i}")
+    before = _rows(io.read(spark, "t"), "k", "n")
+    assert ("x", 4) in before
+    io.compact(spark, "t")
+    m = io.manifest("t")
+    assert len(m["segments"]) == 1
+    assert _rows(io.read(spark, "t"), "k", "n") == before
+    # further appends keep merging correctly after compaction
+    io.append(spark.createDataFrame([("x", 1)], "k string, n long"),
+              "t", agg_spec=spec, batch_tag="b9")
+    assert ("x", 5) in _rows(io.read(spark, "t"), "k", "n")
+
+
+def test_log_and_snapshot_kinds_do_not_mix(spark, tmp_path):
+    io = TableIO(str(tmp_path))
+    df = spark.createDataFrame([(1,)], "id int")
+    io.write(df, "snap")
+    with pytest.raises(ValueError):
+        io.append(df, "snap")
+    io.append(df, "log")
+    with pytest.raises(ValueError):
+        io.append(df, "log", log_keys=["id"])  # keys mismatch
+    with pytest.raises(ValueError):
+        io.append(df, "log", log_keys=["id"],
+                  agg_spec={"keys": ["id"], "sum": []})
