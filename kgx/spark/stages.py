@@ -659,6 +659,65 @@ def connected_components(nodes: DataFrame, lsh_edges: DataFrame,
     raise RuntimeError(f"CC did not converge in {max_iters} iterations")
 
 
+def incremental_labels(labels_prev: DataFrame, new_nodes: DataFrame,
+                       new_edges: DataFrame) -> DataFrame:
+    """Condensed-graph incremental connected components: given the
+    previous converged labels, a batch of NEW nodes, and new edges
+    (each touching at least one new node — the incremental-LSH
+    invariant), return the LABEL DELTA: rows only for existing nodes
+    whose component merged plus the new nodes.
+
+    The CC itself runs on the CONDENSED graph — nodes are previous
+    component labels + new node ids, edges are the new edges with
+    endpoints mapped through labels_prev (new nodes map to
+    themselves). A previous label is the min id of its component, so
+    the condensed component minimum IS the full-graph component
+    minimum; the CC input is batch-sized, never corpus-sized.
+    Equivalence with a cold full-graph CC is property-tested over
+    random graphs (tests/test_properties.py) and end-to-end by the
+    batch==stream suite."""
+    lab_src = labels_prev.select(
+        F.col("node_id").alias("src"), F.col("label").alias("ls"))
+    lab_dst = labels_prev.select(
+        F.col("node_id").alias("dst"), F.col("label").alias("ld"))
+    cedges = (
+        new_edges.select("src", "dst")
+        .join(lab_src, "src", "left")
+        .join(lab_dst, "dst", "left")
+        .select(
+            F.coalesce("ls", F.col("src")).alias("src"),
+            F.coalesce("ld", F.col("dst")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    cnodes = (
+        cedges.select(F.col("src").alias("node_id"))
+        .unionByName(cedges.select(F.col("dst").alias("node_id")))
+        .unionByName(new_nodes.select("node_id"))
+        .distinct()
+    )
+    clabels = connected_components(
+        cnodes, cedges.withColumn("sim", F.lit(1.0)))
+    changed = clabels.where(F.col("node_id") != F.col("label"))
+
+    # delta: existing nodes in re-labeled components + new nodes
+    # (coalesce-to-self covers isolated new nodes)
+    delta_old = labels_prev.join(
+        changed.select(F.col("node_id").alias("label"),
+                       F.col("label").alias("nl")),
+        "label",
+    ).select("node_id", F.col("nl").alias("label"))
+    delta_new = (
+        new_nodes.select("node_id")
+        .distinct()
+        .join(clabels, "node_id", "left")
+        .select("node_id",
+                F.coalesce("label", F.col("node_id")).alias("label"))
+    )
+    return delta_old.unionByName(delta_new)
+
+
 SALT_K = 16
 
 

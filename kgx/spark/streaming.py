@@ -298,52 +298,18 @@ def incremental_canon_updater(spark: SparkSession, warehouse: str,
         io.append(lsh_new.select("src", "dst", "sim"), "lsh_edges",
                   batch_tag=tag)
 
-        # condensed graph: endpoints -> previous component labels
-        # (new nodes map to themselves); CC over it is batch-sized
-        lab_src = labels_prev.select(
-            F.col("node_id").alias("src"), F.col("label").alias("ls"))
-        lab_dst = labels_prev.select(
-            F.col("node_id").alias("dst"), F.col("label").alias("ld"))
-        cedges = (
-            lsh_new.select("src", "dst")
-            .join(lab_src, "src", "left")
-            .join(lab_dst, "dst", "left")
-            .select(
-                F.coalesce("ls", F.col("src")).alias("src"),
-                F.coalesce("ld", F.col("dst")).alias("dst"),
-            )
-            .where(F.col("src") != F.col("dst"))
-            .dropDuplicates(["src", "dst"])
-        )
-        cnodes = (
-            cedges.select(F.col("src").alias("node_id"))
-            .unionByName(cedges.select(F.col("dst").alias("node_id")))
-            .unionByName(new_only.select("node_id"))
-            .distinct()
-        )
-        clabels = stages.connected_components(
-            cnodes, cedges.withColumn("sim", F.lit(1.0)))
-        changed = clabels.where(F.col("node_id") != F.col("label"))
-
-        # delta labels: existing nodes in re-labeled components + new
-        # nodes (coalesce-to-self covers isolated new nodes)
-        delta_old = labels_prev.join(
-            changed.select(F.col("node_id").alias("label"),
-                           F.col("label").alias("nl")),
-            "label",
-        ).select("node_id", F.col("nl").alias("label"))
-        delta_new = (
-            new_only.select("node_id")
-            .join(clabels, "node_id", "left")
-            .select("node_id",
-                    F.coalesce("label", F.col("node_id")).alias("label"))
-        )
-        delta_labels = delta_old.unionByName(delta_new).localCheckpoint()
+        # condensed-graph incremental CC (batch-sized input) -> label
+        # delta for merged components + new nodes
+        delta_labels = stages.incremental_labels(
+            labels_prev, new_only, lsh_new
+        ).localCheckpoint()
 
         # affected components, before and after this batch
         aff_new = delta_labels.select("label").distinct()
+        # existing changed nodes = delta rows whose node_id was already
+        # labeled (new nodes are absent from labels_prev)
         aff_prev = (
-            labels_prev.join(delta_old.select("node_id"), "node_id",
+            labels_prev.join(delta_labels.select("node_id"), "node_id",
                              "left_semi")
             .select("label")
             .unionByName(

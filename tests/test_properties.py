@@ -154,3 +154,56 @@ def test_cc_long_chain_converges_logarithmically(spark):
         "src string, dst string").withColumn("sim", F.lit(1.0))
     labels = connected_components(nodes, edges).collect()
     assert all(r["label"] == "n000" for r in labels)
+
+
+def test_incremental_labels_equal_cold_cc(spark):
+    """Condensed-graph incremental CC (stages.incremental_labels) must
+    reach the exact labels a cold full-graph CC computes, for random
+    graphs and random batch splits — including merges of several old
+    components through one new node, isolated new nodes, and
+    new-to-new edges. (Invariant exploited: every post-batch edge
+    touches >= 1 new node, which the incremental LSH guarantees.)"""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kgx.spark.stages import connected_components, incremental_labels
+
+    for seed in (11, 22, 33):
+        rng = random.Random(seed)
+        n1, n2 = 40, 15
+        old = [f"n{i:03d}" for i in range(n1)]
+        new = [f"n{i:03d}" for i in range(n1, n1 + n2)]
+        e1 = {
+            tuple(sorted(rng.sample(old, 2)))
+            for _ in range(50)
+        }
+        e2 = set()
+        for _ in range(40):
+            a, b = rng.choice(new), rng.choice(old + new)
+            if a != b:
+                e2.add(tuple(sorted((a, b))))
+
+        def df_nodes(ids):
+            return spark.createDataFrame([(x,) for x in ids],
+                                         "node_id string")
+
+        def df_edges(pairs):
+            return spark.createDataFrame(
+                [(a, b) for a, b in sorted(pairs)],
+                "src string, dst string",
+            ).withColumn("sim", F.lit(1.0))
+
+        labels_prev = connected_components(
+            df_nodes(old), df_edges(e1)).localCheckpoint()
+        delta = incremental_labels(labels_prev, df_nodes(new),
+                                   df_edges(e2))
+        merged = {r["node_id"]: r["label"] for r in labels_prev.collect()}
+        merged.update(
+            {r["node_id"]: r["label"] for r in delta.collect()})
+        want = {
+            r["node_id"]: r["label"]
+            for r in connected_components(
+                df_nodes(old + new), df_edges(e1 | e2)).collect()
+        }
+        assert merged == want, f"seed {seed}"
