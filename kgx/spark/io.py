@@ -58,6 +58,16 @@ class TableIO:
     def manifest_path(self, table: str) -> str:
         return os.path.join(self.warehouse, f"{table}.manifest.json")
 
+    def _dump_manifest(self, table: str, manifest: dict) -> None:
+        """Atomic manifest commit (tmp + rename): the exactly-once
+        replay path READS manifests to roll back a half-applied batch,
+        so a torn in-place write would wedge the stream exactly when
+        the rollback is needed."""
+        tmp = self.manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, self.manifest_path(table))
+
     def write(
         self,
         df: DataFrame,
@@ -84,6 +94,10 @@ class TableIO:
         and downstream consumers would KeyError on.
         """
         prev = self.manifest(table)
+        if prev is not None and prev.get("kind") == "log":
+            raise ValueError(
+                f"{table} is a log table — use append(), not write() "
+                "(a snapshot write would orphan its delta segments)")
         version = (prev["version"] + 1) if prev and "version" in prev else 1
         w = df.write.mode(mode)
         if partition_by:
@@ -115,8 +129,7 @@ class TableIO:
     def finalize(self, table: str, manifest: dict) -> dict:
         """Atomically commit a manifest (single dump) + expire old
         snapshots — the one place the commit marker is born."""
-        with open(self.manifest_path(table), "w") as f:
-            json.dump(manifest, f, indent=2)
+        self._dump_manifest(table, manifest)
         self.expire_snapshots(table, keep=self.KEEP_SNAPSHOTS)
         return manifest
 
@@ -195,8 +208,7 @@ class TableIO:
             "schema": df.schema.jsonValue(),
             "segments": segments,
         }
-        with open(self.manifest_path(table), "w") as f:
-            json.dump(manifest, f, indent=2)
+        self._dump_manifest(table, manifest)
         return manifest
 
     def prune_batch(self, table: str, batch_tag: str) -> int:
@@ -220,8 +232,7 @@ class TableIO:
         m["segments"] = keep
         m["version"] = keep[-1]["version"]
         m["rows"] = sum(s["rows"] for s in keep)
-        with open(self.manifest_path(table), "w") as f:
-            json.dump(m, f, indent=2)
+        self._dump_manifest(table, m)
         return len(dropped)
 
     def compact(self, spark: SparkSession, table: str) -> dict:
@@ -250,8 +261,7 @@ class TableIO:
         ]
         m["version"] = version
         m["rows"] = m["segments"][0]["rows"]
-        with open(self.manifest_path(table), "w") as f:
-            json.dump(m, f, indent=2)
+        self._dump_manifest(table, m)
         for s in old:
             shutil.rmtree(
                 os.path.join(self.table_dir(table), f"_v{s['version']}"),
@@ -271,7 +281,11 @@ class TableIO:
         if keys:
             from pyspark.sql import Window
 
-            w = Window.partitionBy(*keys).orderBy(F.desc("_seg"))
+            # within one segment an upsert row deterministically beats
+            # a tombstone for the same key (callers normally anti-join
+            # deletes against the delta; this pins the tie anyway)
+            w = Window.partitionBy(*keys).orderBy(
+                F.desc("_seg"), F.asc("_del"))
             df = (
                 df.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1)

@@ -213,6 +213,12 @@ def incremental_canon_updater(spark: SparkSession, warehouse: str,
     amortized over K; bounds read fan-in on a long-running stream)."""
     from kgx.spark.io import TableIO
 
+    if tag_spans_udf is None or patterns_rows is None:
+        raise ValueError(
+            "incremental_canon_updater requires tag_spans_udf and "
+            "patterns_rows (pass patterns_rows=[] explicitly for a "
+            "deployment with no relation patterns) — a silent default "
+            "would stream a KG missing every pattern edge")
     io = TableIO(warehouse)
 
     def update(turns_batch: DataFrame, batch_id: int) -> None:
@@ -222,12 +228,21 @@ def incremental_canon_updater(spark: SparkSession, warehouse: str,
         tag = f"b{batch_id}"
         for tbl in CANON_TABLES:
             io.prune_batch(tbl, tag)  # roll back a crashed half-apply
+
+        def finish() -> None:
+            _canon_mark_applied(io, batch_id)
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                for tbl in CANON_TABLES:
+                    m = io.manifest(tbl)
+                    if m is not None and m.get("kind") == "log":
+                        io.compact(spark, tbl)
+
         clean = turns_batch.where(
             F.col("text").isNotNull()
             & (F.length(F.trim(F.col("text"))) > 0)
         )
         if clean.isEmpty():
-            _canon_mark_applied(io, batch_id)
+            finish()
             return
         tagged = stages.tag_spans(clean, tag_spans_udf).localCheckpoint()
         mentions_batch = stages.mentions_of(tagged)
@@ -252,7 +267,11 @@ def incremental_canon_updater(spark: SparkSession, warehouse: str,
 
         nodes_b = stages.link_nodes(mentions_batch, dict_df)
 
-        if applied < 0:
+        # cold start keys on STATE existence, not the commit marker: a
+        # first batch that was entirely filtered (empty text) marks
+        # itself applied without seeding any table, and the next batch
+        # must still take this branch
+        if io.manifest("nodes") is None:
             # cold start: first batch seeds the logs (a node row is
             # one (node_id, norm) alias — never dedup by node_id
             # alone, a dict entity keeps one row per alias)
@@ -272,7 +291,7 @@ def incremental_canon_updater(spark: SparkSession, warehouse: str,
             io.append(cc_vertices, "cc_vertices",
                       log_keys=["entity_id"], batch_tag=tag)
             append_edge_delta()
-            _canon_mark_applied(io, batch_id)
+            finish()
             return
 
         # pre-batch state: _read_log pins segment paths at read() time,
@@ -288,7 +307,7 @@ def incremental_canon_updater(spark: SparkSession, warehouse: str,
         if new_only.isEmpty():
             # no graph change, but the batch's triples still count
             append_edge_delta()
-            _canon_mark_applied(io, batch_id)
+            finish()
             return
         io.append(new_only, "nodes", batch_tag=tag)
         nodes_all = io.read(spark, "nodes")
@@ -335,10 +354,7 @@ def incremental_canon_updater(spark: SparkSession, warehouse: str,
         io.append(cv_delta, "cc_vertices", log_keys=["entity_id"],
                   batch_tag=tag, deletes=tombstones)
         append_edge_delta()
-        _canon_mark_applied(io, batch_id)
-        if compact_every and (batch_id + 1) % compact_every == 0:
-            for tbl in CANON_TABLES:
-                io.compact(spark, tbl)
+        finish()
 
     return update
 

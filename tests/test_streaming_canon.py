@@ -270,3 +270,51 @@ def test_incremental_canon_crash_replay(spark, t1_dir, tmp_path,
     after = {t: io.manifest(t)["segments"]
              for t in streaming.CANON_TABLES}
     assert before == after
+
+
+def test_empty_first_batch_then_data(spark, t1_dir, tmp_path):
+    """A first micro-batch whose rows are all filtered by the
+    empty-text guard must not wedge the stream: cold start keys on
+    state existence, not on the commit marker, so the next real batch
+    still seeds the logs."""
+    from pyspark.sql import functions as F
+
+    from kgx.spark.udfs import make_tagger_spans_udf
+
+    dict_df = stages.dict_latest(
+        spark.read.parquet(f"{t1_dir}/alias_dict.parquet")
+    )
+    udf = make_tagger_spans_udf(
+        spark, TaggerArtifact.load(f"{t1_dir}/tagger_v1.npz")
+    )
+    patterns = [
+        r.asDict()
+        for r in spark.read.parquet(f"{t1_dir}/patterns.parquet").collect()
+    ]
+    wh = str(tmp_path / "wh")
+    update = streaming.incremental_canon_updater(
+        spark, wh, dict_df, udf, patterns_rows=patterns,
+        compact_every=2)
+    blank = spark.createDataFrame(
+        [("c0", 0, "user", "   ", None, None)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    update(blank, 0)
+    io = TableIO(wh)
+    assert streaming.canon_last_applied(io) == 0
+    assert io.manifest("nodes") is None  # nothing seeded yet
+
+    turns = _turns_of(spark, t1_dir, F.lit(True))
+    update(turns, 1)  # must take the cold path, not crash
+    assert io.read(spark, "entity_map").count() > 0
+    # batch_id 1 with compact_every=2 also hits the compaction
+    # epilogue on the COLD path: every log folded to one segment
+    for tbl in streaming.CANON_TABLES:
+        assert len(io.manifest(tbl)["segments"]) == 1
+
+
+def test_updater_requires_udf_and_patterns(spark, tmp_path):
+    with pytest.raises(ValueError, match="patterns_rows"):
+        streaming.incremental_canon_updater(
+            spark, str(tmp_path), None)

@@ -99,3 +99,28 @@ def test_log_and_snapshot_kinds_do_not_mix(spark, tmp_path):
     with pytest.raises(ValueError):
         io.append(df, "log", log_keys=["id"],
                   agg_spec={"keys": ["id"], "sum": []})
+
+
+def test_snapshot_write_rejected_on_log_table(spark, tmp_path):
+    """A stray snapshot write() onto a log table would rewrite the
+    manifest without kind='log' and silently orphan every delta
+    segment — it must be rejected."""
+    io = TableIO(str(tmp_path))
+    df = spark.createDataFrame([(1,)], "id int")
+    io.append(df, "t")
+    with pytest.raises(ValueError, match="log table"):
+        io.write(df, "t")
+
+
+def test_same_segment_upsert_beats_tombstone(spark, tmp_path):
+    """An upsert row and a tombstone for the same key in ONE append
+    share a segment number; resolution must be deterministic (the
+    upsert wins) rather than depending on row order."""
+    io = TableIO(str(tmp_path))
+    io.append(
+        spark.createDataFrame([(1, "a")], "id int, v string"),
+        "t", log_keys=["id"],
+        deletes=spark.createDataFrame([(1,)], "id int"),
+    )
+    got = {(r["id"], r["v"]) for r in io.read(spark, "t").collect()}
+    assert got == {(1, "a")}
