@@ -2384,16 +2384,15 @@ def stream_incremental_canon(spark, sf):
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from kgx.spark import stages, streaming
+    from kgx.spark import streaming
     from kgx.spark.io import TableIO
+    from kgx.spark.run import load_dims
     from kgx.spark.udfs import make_tagger_spans_udf
-    from kgx.tagcore import TaggerArtifact
 
     fx = _fixture_dir()
-    udf = make_tagger_spans_udf(
-        spark, TaggerArtifact.load(os.path.join(fx, "tagger_v1.npz")))
-    dict_df = stages.dict_latest(
-        spark.read.parquet(os.path.join(fx, "alias_dict.parquet")))
+    dims = load_dims(spark, fx)
+    udf = make_tagger_spans_udf(spark, dims["artifact"])
+    dict_df = dims["dict_df"]
     tbl = pq.read_table(os.path.join(fx, "transcripts.parquet"))
     # first 20 convs, split into two arrival files
     tbl = tbl.filter(pc.less(tbl["conv_id"], "c000020"))
@@ -2406,14 +2405,10 @@ def stream_incremental_canon(spark, sf):
             tbl.filter(pc.greater_equal(tbl["conv_id"], "c000010")),
             os.path.join(arrivals, "b.parquet"))
         wh = os.path.join(tmp, "wh")
-        patterns = [
-            r.asDict()
-            for r in spark.read.parquet(
-                os.path.join(fx, "patterns.parquet")).collect()
-        ]
         streaming.run_incremental_canon(
             spark, arrivals, os.path.join(tmp, "ckpt"), wh, udf,
-            dict_df, patterns_rows=patterns, max_files_per_trigger=1)
+            dict_df, patterns_rows=dims["patterns_rows"],
+            max_files_per_trigger=1)
         out = (
             TableIO(wh).read(spark, "cc_vertices")
             .withColumn("aliases", F.concat_ws(",", "aliases"))

@@ -107,6 +107,27 @@ def content_sig_col(df: DataFrame):
     ).alias("sig")
 
 
+def load_dims(spark: SparkSession, dims_dir: str,
+              artifact: str = "tagger_v1.npz") -> dict:
+    """Load the dimension inputs every pipeline flavor needs — the
+    latest alias dictionary, the relation patterns as plain dicts, and
+    the tagger artifact — from one directory layout. Single source of
+    truth for the batch CLI, the streaming CLI, the harness and tests
+    (a schema or slot change lands in exactly one place)."""
+    return {
+        "dict_df": stages.dict_latest(
+            spark.read.parquet(os.path.join(dims_dir,
+                                            "alias_dict.parquet"))),
+        "patterns_rows": [
+            r.asDict()
+            for r in spark.read.parquet(
+                os.path.join(dims_dir, "patterns.parquet")).collect()
+        ],
+        "artifact": TaggerArtifact.load(
+            os.path.join(dims_dir, artifact)),
+    }
+
+
 class Runner:
     """The tag stage writes the FUSED checkpoint (spans + precomputed
     candidate relations, no text — SURVEY §4 "tag+extract in one

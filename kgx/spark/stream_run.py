@@ -41,27 +41,21 @@ def main(argv=None) -> dict:
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
-    from kgx.spark import stages, streaming
+    from kgx.spark import streaming
     from kgx.spark.io import TableIO
+    from kgx.spark.run import load_dims
     from kgx.spark.session import get_spark
     from kgx.spark.udfs import make_tagger_spans_udf
-    from kgx.tagcore import TaggerArtifact
 
     spark = get_spark("kgx-stream", cores=args.cores)
-    udf = make_tagger_spans_udf(
-        spark, TaggerArtifact.load(f"{args.dims}/{args.artifact}"))
-    dict_df = stages.dict_latest(
-        spark.read.parquet(f"{args.dims}/alias_dict.parquet"))
-    patterns = [
-        r.asDict()
-        for r in spark.read.parquet(
-            f"{args.dims}/patterns.parquet").collect()
-    ]
+    dims = load_dims(spark, args.dims, artifact=args.artifact)
+    udf = make_tagger_spans_udf(spark, dims["artifact"])
+    dict_df = dims["dict_df"]
 
     t0 = time.time()
     streaming.run_incremental_canon(
         spark, args.arrivals, args.checkpoint, args.out, udf, dict_df,
-        patterns_rows=patterns,
+        patterns_rows=dims["patterns_rows"],
         max_files_per_trigger=args.max_files_per_trigger,
         compact_every=args.compact_every,
     )
@@ -72,9 +66,14 @@ def main(argv=None) -> dict:
         if m is not None:
             state[tbl] = {"rows": m["rows"],
                           "segments": len(m["segments"])}
+    # the edge view reads four tables; a crash-torn warehouse (no
+    # committed batch yet) may hold only a prefix of them — report the
+    # view as unavailable instead of raising
+    view_deps = ("edges_raw", "tool_turns", "conv_speakers",
+                 "entity_map")
     n_edges = (
         streaming.canonical_edges(spark, args.out, dict_df).count()
-        if "edges_raw" in state else 0
+        if all(d in state for d in view_deps) else None
     )
     report = {
         "wall_s": round(time.time() - t0, 3),

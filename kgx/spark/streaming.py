@@ -234,7 +234,11 @@ def incremental_canon_updater(spark: SparkSession, warehouse: str,
             if compact_every and (batch_id + 1) % compact_every == 0:
                 for tbl in CANON_TABLES:
                     m = io.manifest(tbl)
-                    if m is not None and m.get("kind") == "log":
+                    # single-segment tables have nothing to merge —
+                    # rewriting them would burn O(state) IO per
+                    # boundary on sparse streams for zero fan-in gain
+                    if (m is not None and m.get("kind") == "log"
+                            and len(m["segments"]) > 1):
                         io.compact(spark, tbl)
 
         clean = turns_batch.where(

@@ -10,11 +10,11 @@ import pyarrow.parquet as pq
 import pytest
 
 from kgx import oracle
-from kgx.spark import stages, streaming
+from kgx.spark import streaming
 from kgx.spark.io import TableIO
 from kgx.spark.pipeline import run_fixture_pipeline
+from kgx.spark.run import load_dims
 from kgx.spark.udfs import make_tagger_spans_udf
-from kgx.tagcore import TaggerArtifact
 
 
 def test_incremental_canon_equals_batch(spark, t1_dir, tmp_path):
@@ -31,16 +31,10 @@ def test_incremental_canon_equals_batch(spark, t1_dir, tmp_path):
         arrivals / "b.parquet",
     )
 
-    udf = make_tagger_spans_udf(
-        spark, TaggerArtifact.load(f"{t1_dir}/tagger_v1.npz")
-    )
-    dict_df = stages.dict_latest(
-        spark.read.parquet(f"{t1_dir}/alias_dict.parquet")
-    )
-    patterns = [
-        r.asDict()
-        for r in spark.read.parquet(f"{t1_dir}/patterns.parquet").collect()
-    ]
+    dims = load_dims(spark, t1_dir)
+    udf = make_tagger_spans_udf(spark, dims["artifact"])
+    dict_df = dims["dict_df"]
+    patterns = dims["patterns_rows"]
     wh = str(tmp_path / "wh")
     streaming.run_incremental_canon(
         spark, str(arrivals), str(tmp_path / "ckpt"), wh, udf, dict_df,
@@ -148,16 +142,10 @@ def test_incremental_edges_mid_conversation_split(spark, t1_dir,
     b0 = _turns_of(spark, t1_dir, F.col("turn_idx") < med)
     b1 = _turns_of(spark, t1_dir, F.col("turn_idx") >= med)
     assert b0.count() and b1.count()
-    dict_df = stages.dict_latest(
-        spark.read.parquet(f"{t1_dir}/alias_dict.parquet")
-    )
-    udf = make_tagger_spans_udf(
-        spark, TaggerArtifact.load(f"{t1_dir}/tagger_v1.npz")
-    )
-    patterns = [
-        r.asDict()
-        for r in spark.read.parquet(f"{t1_dir}/patterns.parquet").collect()
-    ]
+    dims = load_dims(spark, t1_dir)
+    udf = make_tagger_spans_udf(spark, dims["artifact"])
+    dict_df = dims["dict_df"]
+    patterns = dims["patterns_rows"]
     wh = str(tmp_path / "wh")
     update = streaming.incremental_canon_updater(
         spark, wh, dict_df, udf, patterns_rows=patterns)
@@ -209,16 +197,10 @@ def test_incremental_canon_crash_replay(spark, t1_dir, tmp_path,
     cut = "c000020"
     m0 = _turns_of(spark, t1_dir, F.col("conv_id") < cut)
     m1 = _turns_of(spark, t1_dir, F.col("conv_id") >= cut)
-    dict_df = stages.dict_latest(
-        spark.read.parquet(f"{t1_dir}/alias_dict.parquet")
-    )
-    udf = make_tagger_spans_udf(
-        spark, TaggerArtifact.load(f"{t1_dir}/tagger_v1.npz")
-    )
-    patterns = [
-        r.asDict()
-        for r in spark.read.parquet(f"{t1_dir}/patterns.parquet").collect()
-    ]
+    dims = load_dims(spark, t1_dir)
+    udf = make_tagger_spans_udf(spark, dims["artifact"])
+    dict_df = dims["dict_df"]
+    patterns = dims["patterns_rows"]
 
     wh = str(tmp_path / "wh")
     update = streaming.incremental_canon_updater(
@@ -281,20 +263,14 @@ def test_empty_first_batch_then_data(spark, t1_dir, tmp_path):
 
     from kgx.spark.udfs import make_tagger_spans_udf
 
-    dict_df = stages.dict_latest(
-        spark.read.parquet(f"{t1_dir}/alias_dict.parquet")
-    )
-    udf = make_tagger_spans_udf(
-        spark, TaggerArtifact.load(f"{t1_dir}/tagger_v1.npz")
-    )
-    patterns = [
-        r.asDict()
-        for r in spark.read.parquet(f"{t1_dir}/patterns.parquet").collect()
-    ]
+    dims = load_dims(spark, t1_dir)
+    udf = make_tagger_spans_udf(spark, dims["artifact"])
+    dict_df = dims["dict_df"]
+    patterns = dims["patterns_rows"]
     wh = str(tmp_path / "wh")
     update = streaming.incremental_canon_updater(
         spark, wh, dict_df, udf, patterns_rows=patterns,
-        compact_every=2)
+        compact_every=3)
     blank = spark.createDataFrame(
         [("c0", 0, "user", "   ", None, None)],
         "conv_id string, turn_idx int, role string, text string,"
@@ -305,13 +281,20 @@ def test_empty_first_batch_then_data(spark, t1_dir, tmp_path):
     assert streaming.canon_last_applied(io) == 0
     assert io.manifest("nodes") is None  # nothing seeded yet
 
-    turns = _turns_of(spark, t1_dir, F.lit(True))
-    update(turns, 1)  # must take the cold path, not crash
-    assert io.read(spark, "entity_map").count() > 0
-    # batch_id 1 with compact_every=2 also hits the compaction
-    # epilogue on the COLD path: every log folded to one segment
+    cut = "c000020"
+    update(_turns_of(spark, t1_dir, F.col("conv_id") < cut), 1)
+    assert io.read(spark, "entity_map").count() > 0  # cold path worked
+    # batch 2 appends second segments AND hits the compaction boundary
+    # ((2+1) % 3 == 0): multi-segment logs must fold to ONE segment
+    # whose batch_tag is None — proof compaction actually ran, not
+    # just that the log started with one segment
+    update(_turns_of(spark, t1_dir, F.col("conv_id") >= cut), 2)
+    compacted = 0
     for tbl in streaming.CANON_TABLES:
-        assert len(io.manifest(tbl)["segments"]) == 1
+        segs = io.manifest(tbl)["segments"]
+        assert len(segs) == 1, tbl
+        compacted += segs[0]["batch_tag"] is None
+    assert compacted >= 6, "multi-segment logs were not compacted"
 
 
 def test_updater_requires_udf_and_patterns(spark, tmp_path):
