@@ -243,17 +243,23 @@ def viterbi_batch(
     tmax = int(lens.max(initial=0))
     if tmax == 0:
         return [[] for _ in range(n)]
-    # float32 throughout: every score is a sum of at most MAX_TAG_LEN
-    # emission/transition constants (multiples of 0.5, magnitude
-    # < 2^24), so float32 is EXACT — same argmax, half the memory
-    # bandwidth of float64 in the DP hot loop (measured ~25% faster)
-    em = np.zeros((n, tmax, NUM_TAGS), dtype=np.float32)
+    # DP runs in the INPUT precision: the model's emissions are
+    # float32 sums of half-integer constants (magnitude < 2^24), so
+    # float32 is EXACT there — same argmax, half the memory bandwidth
+    # of float64 in the hot loop (measured ~25% faster). Callers who
+    # pass float64 (arbitrary real-valued scores) get a float64 DP —
+    # bit-agreement with the single-sequence reference either way
+    # (property-tested on random float64 emissions).
+    dtype = (np.float64
+             if any(e.dtype == np.float64 for e in em_list)
+             else np.float32)
+    em = np.zeros((n, tmax, NUM_TAGS), dtype=dtype)
     for i, e in enumerate(em_list):
         em[i, : e.shape[0]] = e
-    a32 = a.astype(np.float32, copy=False)
+    a32 = a.astype(dtype, copy=False)
     score = em[:, 0, :].copy()  # [n, 7]
     back = np.zeros((n, tmax, NUM_TAGS), dtype=np.int8)
-    cand = np.empty((n, NUM_TAGS, NUM_TAGS), dtype=np.float32)
+    cand = np.empty((n, NUM_TAGS, NUM_TAGS), dtype=dtype)
     rows_n = np.arange(n)[:, None]
     cols = np.arange(NUM_TAGS)[None, :]
     for step in range(1, tmax):

@@ -7,7 +7,7 @@ equality, and connected components vs networkx on random graphs.
 import itertools
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from kgx.contract import NUM_TAGS, TAGS, jaccard, minhash_signature
@@ -72,6 +72,14 @@ def test_viterbi_is_optimal_with_lowest_id_ties(e):
 
 @settings(max_examples=30, deadline=None)
 @given(st.lists(emission_matrix(), min_size=0, max_size=8))
+@example(
+    ems=[np.array([[0.0000000e+00, 0.0000000e+00, 0.0000000e+00, 0.0000000e+00,
+             0.0000000e+00, 0.0000000e+00, 0.0000000e+00],
+            [0.0000000e+00, 0.0000000e+00, 0.0000000e+00, 0.0000000e+00,
+             0.0000000e+00, 0.0000000e+00, 2.0000000e+00],
+            [0.0000000e+00, 0.0000000e+00, 0.0000000e+00, 1.1920929e-07,
+             0.0000000e+00, 0.0000000e+00, 0.0000000e+00]], dtype=np.float32)],
+).via('discovered failure')
 def test_batched_variants_agree_with_single(ems):
     ems64 = [e.astype(np.float64) for e in ems]
     want = [viterbi(e, A) for e in ems64]
