@@ -43,7 +43,8 @@ SPAN_TYPE = T.ArrayType(
     )
 )
 
-VITERBI_CHUNK = 512  # bounds the padded DP tensor (512*512*7*8B ~ 15MB)
+VITERBI_CHUNK = 512  # bounds the padded DP tensor: 512 seqs x 512
+# steps x 7 tags x 4B (float32 model path) ~ 7.3MB per chunk
 
 
 def make_tagger_udf(spark: SparkSession, artifact: TaggerArtifact):

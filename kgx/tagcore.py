@@ -43,6 +43,26 @@ def build_transitions() -> np.ndarray:
     return a
 
 
+def _check_half_integer(artifact: "TaggerArtifact") -> None:
+    """The oracle decodes with a float64 DP and the Spark UDFs with a
+    float32 DP; they bit-agree ONLY while every score is a sum of
+    half-integer constants (exactly representable in float32 up to
+    2^23). MATCH/MISS/BAD are constants here; transitions and cue
+    bonuses come from the artifact file, so they are validated at the
+    boundary — an artifact with e.g. a 0.1 bonus would silently
+    reopen oracle-vs-pipeline divergence, exactly what the P/R gate
+    measures."""
+    tr = artifact.transitions
+    if not np.array_equal(tr * 2, np.round(tr * 2)):
+        raise ValueError("transition weights must be half-integers")
+    for _cs, _ce, bo in artifact.cues:
+        if float(bo) * 2 != round(float(bo) * 2):
+            raise ValueError(
+                f"cue bonus {bo} is not a half-integer — the float32 "
+                "Viterbi fast path would diverge from the float64 "
+                "oracle")
+
+
 @dataclass(frozen=True)
 class TaggerArtifact:
     """Frozen model behind the pluggable tagger slot (SURVEY A.3: the
@@ -84,7 +104,7 @@ class TaggerArtifact:
             if "cues" in z else ()
         )
         weak = tuple(z["weak"].tolist()) if "weak" in z else ()
-        return TaggerArtifact(
+        art = TaggerArtifact(
             forms=tuple(z["forms"].tolist()),
             etypes=tuple(z["etypes"].tolist()),
             transitions=z["transitions"].astype(np.float32),
@@ -92,6 +112,8 @@ class TaggerArtifact:
             cues=cues,
             weak=weak,
         )
+        _check_half_integer(art)
+        return art
 
     def as_dict(self) -> dict:
         """Plain-dict form for Spark broadcast (no dataclass pickling
@@ -107,7 +129,9 @@ class TaggerArtifact:
 
     @staticmethod
     def from_dict(d: dict) -> "TaggerArtifact":
-        return TaggerArtifact(**d)
+        art = TaggerArtifact(**d)
+        _check_half_integer(art)
+        return art
 
 
 class LexiconMatcher:
@@ -243,16 +267,18 @@ def viterbi_batch(
     tmax = int(lens.max(initial=0))
     if tmax == 0:
         return [[] for _ in range(n)]
-    # DP runs in the INPUT precision: the model's emissions are
-    # float32 sums of half-integer constants (magnitude < 2^24), so
-    # float32 is EXACT there — same argmax, half the memory bandwidth
-    # of float64 in the hot loop (measured ~25% faster). Callers who
-    # pass float64 (arbitrary real-valued scores) get a float64 DP —
-    # bit-agreement with the single-sequence reference either way
-    # (property-tested on random float64 emissions).
-    dtype = (np.float64
-             if any(e.dtype == np.float64 for e in em_list)
-             else np.float32)
+    # DP precision follows the PROMOTED input dtype (emissions AND
+    # transitions): the model path is all-float32 — and its values are
+    # half-integer constants (enforced at artifact load, magnitude
+    # < 2^24), so the float32 DP is EXACT there: same argmax, half the
+    # memory bandwidth of float64 in the hot loop (~25% faster).
+    # float64 (or any non-float32) input anywhere promotes the whole
+    # DP to float64, so arbitrary-valued callers get the bit-exact
+    # reference behavior (property-tested both ways).
+    dtype = np.result_type(np.float32, a.dtype,
+                           *(e.dtype for e in em_list))
+    if dtype != np.float32:
+        dtype = np.float64
     em = np.zeros((n, tmax, NUM_TAGS), dtype=dtype)
     for i, e in enumerate(em_list):
         em[i, : e.shape[0]] = e

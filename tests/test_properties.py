@@ -215,3 +215,29 @@ def test_incremental_labels_equal_cold_cc(spark):
                 df_nodes(old + new), df_edges(e1 | e2)).collect()
         }
         assert merged == want, f"seed {seed}"
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(emission_matrix(), min_size=0, max_size=8))
+def test_float32_fast_path_agrees_on_half_integers(ems):
+    """The float32 DP fast path (what the production UDFs execute —
+    emissions and transitions all float32) must bit-agree with the
+    float64 single-sequence reference whenever all scores are
+    half-integers, which the artifact loader enforces. Inputs here are
+    rounded to halves to model exactly that contract."""
+    ems32 = [(np.round(e * 2) / 2).astype(np.float32) for e in ems]
+    want = [viterbi(e.astype(np.float64), A) for e in ems32]
+    a32 = A.astype(np.float32)
+    assert viterbi_batch(ems32, a32) == want
+    assert viterbi_batch_sorted(ems32, a32, chunk=3) == want
+
+
+def test_viterbi_batch_promotes_non_float_inputs():
+    """Non-float32 inputs must promote the DP to float64 — an int64
+    emission of 2^24+1 is not float32-representable and a downcast
+    would flip the argmax against the reference."""
+    e = np.zeros((2, NUM_TAGS), dtype=np.int64)
+    e[1, 3] = 2**24
+    e[1, 4] = 2**24 + 1
+    want = viterbi(e.astype(np.float64), A)
+    assert viterbi_batch([e], A) == [want]

@@ -158,3 +158,34 @@ def test_demo_one_ep3_shape():
     assert out["PER"] == ["Ana Okonkwo", "Davor Park"]
     assert out["LOC"] == ["Fort Kandford"]
     assert demo_one("") == {"PER": [], "LOC": [], "ORG": []}
+
+
+def test_artifact_rejects_non_half_integer_scores():
+    """The float32 UDF DP bit-agrees with the float64 oracle DP only
+    for half-integer scores; artifacts carrying anything else (e.g. a
+    0.1 cue bonus) must be rejected at the load boundary instead of
+    silently reopening oracle-vs-pipeline divergence."""
+    import numpy as np
+    import pytest
+
+    from kgx.tagcore import TaggerArtifact, build_transitions
+
+    bad_cue = TaggerArtifact(
+        forms=("ana",), etypes=("PER",), transitions=build_transitions(),
+        kind="lexicon_ctx_crf", cues=(("dr", "PER", 0.1),), weak=(0,),
+    )
+    with pytest.raises(ValueError, match="half-integer"):
+        TaggerArtifact.from_dict(bad_cue.as_dict())
+
+    tr = build_transitions()
+    tr[0, 0] = 0.3
+    with pytest.raises(ValueError, match="half-integer"):
+        TaggerArtifact.from_dict(
+            TaggerArtifact(forms=("x",), etypes=("PER",),
+                           transitions=tr).as_dict())
+
+    ok = TaggerArtifact(
+        forms=("ana",), etypes=("PER",), transitions=build_transitions(),
+        kind="lexicon_ctx_crf", cues=(("dr", "PER", 2.5),), weak=(0,),
+    )
+    assert TaggerArtifact.from_dict(ok.as_dict()).cues[0][2] == 2.5
