@@ -94,7 +94,44 @@ def scan_json_props(spark, sf):
     )
 
 
-@op("scan_text_bio", None)
+# DuckDB twin of the BIO corpus parse below: read_text + line unnest
+# reproduces the wholetext mapInPandas exactly (sent_id = count of
+# blank separator lines before the line; char = text before the first
+# TAB, tag = text after it; per-sentence join in line order).
+_BIO_ORACLE = """
+WITH raw AS (
+  SELECT string_split(content, chr(10)) AS ls FROM read_text('{path}')
+),
+lines AS (
+  SELECT unnest(ls) AS line, generate_subscripts(ls, 1) AS idx FROM raw
+),
+marked AS (
+  SELECT line, idx,
+    SUM(CASE WHEN line = '' THEN 1 ELSE 0 END) OVER (ORDER BY idx)
+      AS seps
+  FROM lines
+),
+body AS (
+  SELECT idx, CAST(seps AS BIGINT) AS sent_id,
+    CASE WHEN instr(line, chr(9)) > 0
+         THEN substr(line, 1, instr(line, chr(9)) - 1)
+         ELSE line END AS ch,
+    CASE WHEN instr(line, chr(9)) > 0
+         THEN substr(line, instr(line, chr(9)) + 1)
+         ELSE '' END AS tag
+  FROM marked WHERE line <> ''
+)
+SELECT 'bio_eval.txt' AS file, sent_id,
+  string_agg(ch, '' ORDER BY idx) AS text,
+  string_agg(tag, ' ' ORDER BY idx) AS tags
+FROM body GROUP BY sent_id
+"""
+
+
+@op(
+    "scan_text_bio",
+    _BIO_ORACLE.format(path=os.path.join(FIXTURE_T1, "bio_eval.txt")),
+)
 def scan_text_bio(spark, sf):
     """char<TAB>tag corpus file(s) -> (file, sent_id, text, tags).
 
@@ -151,17 +188,44 @@ def scan_text_bio(spark, sf):
     return files.mapInPandas(parse, schema)
 
 
-@op("sink_parquet_partitioned", None)
+@op(
+    "sink_parquet_partitioned",
+    "SELECT n_nationkey, n_name,"
+    " CAST('0x' || substr(md5(CAST(n_nationkey AS VARCHAR)), 1, 8)"
+    "      AS BIGINT) % 4 AS bucket"
+    " FROM nation",
+)
 def sink_parquet_partitioned(spark, sf):
+    """Partitioned parquet sink, verified by reading the sink back.
+
+    The bucket key is the portable md5-fold (same family as the dedup
+    sketches) rather than xxhash64 so the round-trip content is
+    oracle-checkable in DuckDB. Scale notes: the write repartitions ON
+    the partition column first — without it every task writes into
+    every partition directory (tasks x dirs small files); bucket is
+    cast back to bigint after read because parquet partition-column
+    inference narrows it to int32.
+    """
     out = os.path.join(REPO, ".kgx_out", "sink_demo")
     df = t(spark, sf, "nation").withColumn(
-        "bucket", F.pmod(F.xxhash64("n_nationkey"), F.lit(4))
+        "bucket",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("n_nationkey").cast("string")),
+                            1, 8),
+                16, 10,
+            ).cast("bigint"),
+            F.lit(4),
+        ),
     )
-    df.write.mode("overwrite").partitionBy("bucket").parquet(out)
-    return spark.read.parquet(out).select("n_nationkey", "n_name", "bucket")
+    df.repartition("bucket").write.mode("overwrite") \
+        .partitionBy("bucket").parquet(out)
+    return spark.read.parquet(out).select(
+        "n_nationkey", "n_name", F.col("bucket").cast("bigint").alias("bucket")
+    )
 
 
-@op("scan_iceberg", None)
+@op("scan_iceberg", "SELECT r_regionkey, r_name FROM region")
 def scan_iceberg(spark, sf):
     """Iceberg stand-in (runtime jars absent [E]): partitioned parquet +
     manifest JSON via kgx.spark.io; reads back through the abstraction."""
@@ -428,14 +492,22 @@ def join_cross_small(spark, sf):
     )
 
 
-@op("join_skew_aqe", None)
+@op(
+    "join_skew_aqe",
+    "WITH li AS (SELECT CASE WHEN l_orderkey % 5 <> 0 THEN 0"
+    "  ELSE l_orderkey END AS k FROM lineitem)"
+    " SELECT o_orderpriority, COUNT(*) AS n"
+    " FROM li LEFT JOIN orders ON li.k = orders.o_orderkey"
+    " GROUP BY o_orderpriority",
+)
 def join_skew_aqe(spark, sf):
     """Sort-merge join under REAL key skew, relying on the AQE skew
     split (conf is set in the session factory): ~80% of lineitem rows
     collapse onto one hot join key — the shape a hot entity produces
-    at 100 TB. Rows-only; that the post-AQE physical plan actually
-    contains SortMergeJoin(skew=true) is asserted on an executed plan
-    in tests/test_plans.py::test_aqe_skew_join_splits_hot_partition
+    at 100 TB. The oracle checks the join RESULT; that the post-AQE
+    physical plan actually contains SortMergeJoin(skew=true) is
+    asserted on an executed plan in
+    tests/test_plans.py::test_aqe_skew_join_splits_hot_partition
     (with thresholds scaled to sandbox data sizes — the default 256MB
     threshold is itself the cluster-scale knob)."""
     li = t(spark, sf, "lineitem").withColumn(
@@ -815,8 +887,17 @@ def sort_limit_topk(spark, sf):
     )
 
 
-@op("sort_within_partitions", None)
+@op(
+    "sort_within_partitions",
+    "SELECT l_orderkey, l_linenumber FROM lineitem",
+)
 def sort_within_partitions(spark, sf):
+    """Partition-local sort (no global shuffle-to-one): the in-partition
+    order itself is partitioning-dependent and the driver's hash is
+    order-insensitive, so the oracle verifies what IS portable — the
+    operator preserves content exactly. The ordering contract is pinned
+    separately by tests/test_plans.py (no global Sort/Exchange in the
+    plan)."""
     return (
         t(spark, sf, "lineitem")
         .repartition(8, "l_orderkey")
@@ -2127,12 +2208,24 @@ def text_fingerprint(spark, sf):
     )
 
 
-@op("mm_decode_stub", None)
+@op(
+    "mm_decode_stub",
+    "SELECT doc_id,"
+    " CAST(octet_length(encode(text)) AS INT) AS n_bytes,"
+    " CAST(64 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 192"
+    "      AS INT) AS fake_width,"
+    " CAST(64 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 192"
+    "      AS INT) AS fake_height"
+    " FROM documents",
+)
 def mm_decode_stub(spark, sf):
     """Multimodal plumbing: binary payload column + typed metadata via
     mapInPandas. Decode itself is a clearly-marked deterministic FAKE
     (image/audio libs absent in this container); the Spark-side schema,
-    batching and partitioning are real."""
+    batching and partitioning are real. The fake dimensions derive from
+    the payload's md5 (the repo's portable cross-engine hash family),
+    so even the stub is value-checked end-to-end by the DuckDB twin —
+    a real decoder drops into decode() without touching the plumbing."""
     import hashlib
 
     from pyspark.sql import types as T
@@ -2156,7 +2249,7 @@ def mm_decode_stub(spark, sf):
                 raw = bytes(payload)
                 # STUB: a real decoder (PIL/ffmpeg) is unavailable here;
                 # derive deterministic fake dimensions from the content
-                h = hashlib.blake2b(raw, digest_size=4).digest()
+                h = hashlib.md5(raw).digest()
                 rows.append((int(doc_id), len(raw),
                              64 + h[0] % 192, 64 + h[1] % 192))
             import pandas as pd
@@ -2560,11 +2653,16 @@ def graph_triangle_free_check(spark, sf):
     return tri.agg(F.count("*").cast("bigint").alias("n_triangles"))
 
 
-@op("sink_manifest", None)
+@op(
+    "sink_manifest",
+    'SELECT \'region_copy\' AS "table",'
+    ' CAST(COUNT(*) AS BIGINT) AS "rows", TRUE AS complete FROM region',
+)
 def sink_manifest(spark, sf):
     """Stage manifest sink (resumability contract): write a table via
     TableIO (parquet + JSON manifest commit marker), read the manifest
-    back as rows."""
+    back as rows. Oracle-checkable because the manifest's row count and
+    completion marker are pure functions of the source table."""
     import tempfile
 
     from kgx.spark.io import TableIO, fingerprint_paths
@@ -2603,6 +2701,9 @@ _CHECK_FIRST = [
     # never driver-sampled before round 3
     "fn_conditional", "fn_map",
     # new value-hash oracles this round
+    "scan_text_bio", "sink_parquet_partitioned", "scan_iceberg",
+    "sink_manifest", "mm_decode_stub", "sort_within_partitions",
+    "join_skew_aqe",
     "dedup_minhash_lsh", "dedup_simhash", "graph_triangle_free_check",
     "text_fingerprint", "ann_lsh_bucket",
     # round-1-only greens (rotated out of the r2 window)
@@ -2618,8 +2719,7 @@ _CHECK_FIRST = [
     "sort_global", "set_intersect", "set_except",
     "fn_string", "fn_date", "fn_array", "fn_json", "fn_struct",
     # rows-only ops refreshed with an r3 row
-    "join_skew_aqe", "agg_approx_distinct", "sort_within_partitions",
-    "fn_math_hash",
+    "agg_approx_distinct", "fn_math_hash",
     # KG pipeline tables (north star, keep visible in the r3 record)
     "pipe_mentions", "pipe_triples_raw", "pipe_links", "pipe_edges",
     "pipe_vertices",
