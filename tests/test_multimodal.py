@@ -1,0 +1,65 @@
+"""Multimodal plumbing ops (SURVEY B.13): the decoders are honest
+stubs (no PIL/ffmpeg in this container), so these tests pin the part
+that IS real — schema, Arrow batching, per-frame explode shape, and
+the deterministic relationship between payload bytes and stub output —
+the exact seam a real decoder drops into."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_mm_decode_stub_matches_scalar_reference(spark):
+    """Every (n_bytes, fake_width, fake_height) row must equal a
+    driver-side recomputation from the document text — the same md5
+    derivation the DuckDB oracle checks at sf0.01."""
+    from kgx.harness import mm_decode_stub
+
+    got = {r["doc_id"]: r for r in mm_decode_stub(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text").collect()
+    assert len(got) == len(docs) > 0
+    for d in docs:
+        raw = d["text"].encode("utf-8")
+        h = hashlib.md5(raw).digest()
+        r = got[d["doc_id"]]
+        assert r["n_bytes"] == len(raw)
+        assert r["fake_width"] == 64 + h[0] % 192
+        assert r["fake_height"] == 64 + h[1] % 192
+
+
+def test_mm_frame_sample_reassembles_payload_prefix(spark):
+    """Frame chunks are contiguous byte slices: per doc, frames must
+    be index-ordered, non-overlapping, and concatenate to a prefix of
+    the original payload; dims must match the stub's md5 derivation.
+    This is the per-frame explode contract a real video decoder would
+    inherit (one output row per sampled frame, bounded frame count)."""
+    from kgx.harness import mm_frame_sample
+
+    frames = mm_frame_sample(spark, SF).collect()
+    docs = {
+        r["doc_id"]: r["text"].encode("utf-8")
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {d for d, raw in docs.items() if raw}
+    for doc_id, rows in by_doc.items():
+        raw = docs[doc_id]
+        rows.sort(key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in rows] == list(range(len(rows)))
+        assert 1 <= len(rows) <= 4
+        joined = b"".join(bytes(r["frame_bytes"]) for r in rows)
+        assert raw.startswith(joined) and joined
+        step = max(1, len(raw) // 4)
+        for r in rows:
+            chunk = bytes(r["frame_bytes"])
+            assert chunk == raw[r["frame_idx"] * step:
+                                (r["frame_idx"] + 1) * step]
+            h = hashlib.blake2b(chunk, digest_size=4).digest()
+            assert r["width"] == 64 + h[0] % 192
+            assert r["height"] == 64 + h[1] % 192
