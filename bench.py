@@ -121,6 +121,18 @@ def main() -> None:
         rows[name] = _force(qmap[name](spark, SF_DIR))
         queries[name] = round(time.time() - t0, 3)
 
+    # 2b) warm re-run (informational): first execution of a plan pays
+    # its whole-stage-codegen compile — 8-22 s on dedup_minhash_lsh's
+    # 64-aggregate stage depending on host jitter (see
+    # BENCH/bisect_kg_pipeline.md) — which amortizes to zero on any
+    # long-running job. `queries` stays the cold number for
+    # round-over-round comparability; `queries_warm` is steady state.
+    queries_warm: dict[str, float] = {}
+    for name in ([] if quick else HEADLINE):
+        t0 = time.time()
+        _force(qmap[name](spark, SF_DIR))
+        queries_warm[name] = round(time.time() - t0, 3)
+
     # 3) full KG pipeline, bench fixture, end-to-end (cold warehouse)
     if not quick:
         import shutil
@@ -161,6 +173,8 @@ def main() -> None:
         "turns_per_sec": turns_per_sec,
         "rows": rows,
     }
+    if queries_warm:
+        out["queries_warm"] = queries_warm
     # surface the two-parallelism-level scaling evidence (north rule)
     # if a scaling run has been recorded (scripts/scaling_bench.py)
     scaling_path = os.path.join(REPO, "BENCH", "scaling.json")
