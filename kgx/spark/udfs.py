@@ -28,7 +28,10 @@ from kgx.tagcore import (
     LexiconMatcher,
     TaggerArtifact,
     decode_bio,
+    decode_bio_batch,
+    make_batch_emitter,
     make_emitter,
+    viterbi_batch_padded,
     viterbi_batch_sorted,
 )
 
@@ -111,24 +114,35 @@ def make_tagger_offsets_udf(spark: SparkSession, artifact: TaggerArtifact):
     primitive int arrays serialize near-zero-copy and the substring /
     struct building is whole-stage-codegen JVM work."""
     bc = spark.sparkContext.broadcast(artifact.as_dict())
-    code_of = {e: i for i, e in enumerate(ETYPE_CODES)}
 
     @F.pandas_udf(OFFSETS_TYPE)
     def tag_offsets(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         art = TaggerArtifact.from_dict(bc.value)
         matcher = LexiconMatcher(art)
-        emit = make_emitter(art, matcher)
+        emit_batch = make_batch_emitter(art, matcher)
         a = art.transitions
         for texts in batches:
             vals = texts.fillna("").tolist()
-            ems = [emit(t) for t in vals]
-            paths = viterbi_batch_sorted(ems, a, chunk=VITERBI_CHUNK)
-            begins, ends, codes = [], [], []
-            for p, t in zip(paths, vals):
-                spans = decode_bio([TAGS[j] for j in p], t)
-                begins.append([s["begin"] for s in spans])
-                ends.append([s["end"] for s in spans])
-                codes.append([code_of[s["etype"]] for s in spans])
+            nb = len(vals)
+            begins: list = [None] * nb
+            ends: list = [None] * nb
+            codes: list = [None] * nb
+            # length-sorted chunks (same rationale as
+            # viterbi_batch_sorted: tight padded DP tensors), but the
+            # whole chunk stays in padded-matrix form end to end —
+            # emissions fill the DP tensor directly and span offsets
+            # come out of one vectorized BIO pass, no per-text numpy
+            # allocations or per-span Python dicts.
+            order = sorted(range(nb), key=lambda i: len(vals[i]))
+            for lo in range(0, nb, VITERBI_CHUNK):
+                idx = order[lo : lo + VITERBI_CHUNK]
+                em, lens = emit_batch([vals[i] for i in idx])
+                paths = viterbi_batch_padded(em, lens, a)
+                bs, es, cs = decode_bio_batch(paths, lens)
+                for k, i in enumerate(idx):
+                    begins[i] = bs[k]
+                    ends[i] = es[k]
+                    codes[i] = cs[k]
             yield pd.DataFrame(
                 {"begins": begins, "ends": ends, "codes": codes}
             )

@@ -210,6 +210,92 @@ def emissions_ctx(text: str, matcher: LexiconMatcher, cues: tuple,
     return e
 
 
+def emissions_batch(
+    texts: list[str], matcher: LexiconMatcher
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched v1 emissions: one padded [n, tmax, 7] float32 tensor
+    plus per-sequence lengths, filled directly (three bulk numpy ops
+    for the defaults + sparse per-match slice assigns) instead of one
+    small allocation per text. Row i's valid prefix is bit-identical
+    to emissions(texts[i], matcher) (property-tested); padding steps
+    are never read by the padded DP (scores past each length are
+    frozen, backtrace is masked)."""
+    n = len(texts)
+    lens = np.fromiter(
+        (min(len(t), MAX_TAG_LEN) for t in texts), np.int64, count=n
+    )
+    tmax = int(lens.max(initial=0))
+    em = np.zeros((n, tmax, NUM_TAGS), dtype=np.float32)
+    if tmax == 0:
+        return em, lens
+    em[:, :, 1:] = MISS_SCORE
+    for i, text in enumerate(texts):
+        t = int(lens[i])
+        for begin, end, etype, _form in matcher.matches(text[:t]):
+            b_id, i_id = TAG2ID[f"B-{etype}"], TAG2ID[f"I-{etype}"]
+            stop = min(end, t)
+            em[i, begin:stop, :] = MISS_SCORE
+            em[i, begin, b_id] = MATCH_SCORE
+            em[i, begin + 1 : stop, i_id] = MATCH_SCORE
+    return em, lens
+
+
+def emissions_ctx_batch(
+    texts: list[str],
+    matcher: LexiconMatcher,
+    cues: tuple,
+    weak_forms: frozenset,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched twin of emissions_ctx (v2 model), same padded-tensor
+    contract as emissions_batch."""
+    n = len(texts)
+    lens = np.fromiter(
+        (min(len(t), MAX_TAG_LEN) for t in texts), np.int64, count=n
+    )
+    tmax = int(lens.max(initial=0))
+    em = np.zeros((n, tmax, NUM_TAGS), dtype=np.float32)
+    if tmax == 0:
+        return em, lens
+    em[:, :, 1:] = MISS_SCORE
+    for i, text in enumerate(texts):
+        t = int(lens[i])
+        for begin, end, etype, form in matcher.matches(text[:t]):
+            bonus = 0.0
+            for cs, ce, bo in cues:
+                if (
+                    ce == etype
+                    and begin >= len(cs)
+                    and text[begin - len(cs) : begin] == cs
+                ):
+                    bonus = max(bonus, float(bo))
+            if form in weak_forms and bonus == 0.0:
+                continue
+            b_id, i_id = TAG2ID[f"B-{etype}"], TAG2ID[f"I-{etype}"]
+            stop = min(end, t)
+            em[i, begin:stop, :] = MISS_SCORE
+            em[i, begin, b_id] = MATCH_SCORE + bonus
+            em[i, begin + 1 : stop, i_id] = MATCH_SCORE
+    return em, lens
+
+
+def make_batch_emitter(artifact: TaggerArtifact, matcher: LexiconMatcher):
+    """Batched counterpart of make_emitter: texts -> (padded em, lens).
+    Same kind dispatch, same single-place model knowledge."""
+    if artifact.kind == "lexicon_ctx_crf":
+        weak_forms = frozenset(
+            f for f, w in zip(artifact.forms, artifact.weak) if w
+        )
+        cues = artifact.cues
+
+        def emit_batch(texts: list[str]):
+            return emissions_ctx_batch(texts, matcher, cues, weak_forms)
+
+        return emit_batch
+    if artifact.kind != "lexicon_crf":
+        raise ValueError(f"unknown tagger artifact kind: {artifact.kind}")
+    return lambda texts: emissions_batch(texts, matcher)
+
+
 def make_emitter(artifact: TaggerArtifact, matcher: LexiconMatcher):
     """Emission-model dispatch on artifact.kind — the ONLY place that
     knows which model an artifact carries. Viterbi/decode/pipeline are
@@ -282,6 +368,26 @@ def viterbi_batch(
     em = np.zeros((n, tmax, NUM_TAGS), dtype=dtype)
     for i, e in enumerate(em_list):
         em[i, : e.shape[0]] = e
+    paths = viterbi_batch_padded(em, lens, a)
+    return [paths[i, : lens[i]].tolist() for i in range(n)]
+
+
+def viterbi_batch_padded(
+    em: np.ndarray, lens: np.ndarray, a: np.ndarray
+) -> np.ndarray:
+    """Core padded-tensor Viterbi DP: em is [n, tmax, 7], lens the
+    per-sequence valid lengths; returns int8 paths [n, tmax] (values
+    past each length are zero-filled, never meaningful). Same dtype
+    promotion rule as viterbi_batch (which delegates here): an
+    all-float32 input runs the exact float32 fast path, anything else
+    promotes the whole DP to float64."""
+    n, tmax = em.shape[0], em.shape[1]
+    if n == 0 or tmax == 0:
+        return np.zeros((n, tmax), dtype=np.int8)
+    dtype = np.result_type(np.float32, a.dtype, em.dtype)
+    if dtype != np.float32:
+        dtype = np.float64
+    em = em.astype(dtype, copy=False)
     a32 = a.astype(dtype, copy=False)
     score = em[:, 0, :].copy()  # [n, 7]
     back = np.zeros((n, tmax, NUM_TAGS), dtype=np.int8)
@@ -308,7 +414,7 @@ def viterbi_batch(
         prev = back[rows, step, cur]
         cur = np.where(active, prev, cur)
         paths[active, step - 1] = prev[active]
-    return [paths[i, : lens[i]].tolist() for i in range(n)]
+    return paths
 
 
 def viterbi_batch_sorted(
@@ -352,6 +458,55 @@ def decode_bio(tags: list[str], text: str) -> list[dict]:
     if cur_type is not None:
         spans.append(_span(cur_begin, len(tags), cur_type, text))
     return spans
+
+
+def decode_bio_batch(
+    paths: np.ndarray, lens: np.ndarray
+) -> tuple[list[list[int]], list[list[int]], list[list[int]]]:
+    """Vectorized A.4 BIO->span-offsets over a padded tag-id matrix.
+
+    paths is int8 [n, tmax] (tag ids, TAGS order: O=0, B-X odd, I-X
+    even), lens the valid lengths. Returns per-sequence (begins, ends,
+    etype_codes) with codes 0=PER 1=LOC 2=ORG — the exact spans
+    decode_bio produces, including IOB2 repair (property-tested):
+    a position OPENS a span iff its tag is non-O and (it is a B tag,
+    or the previous tag is O / a different entity type); a span runs
+    until the next opener or non-entity position.
+
+    Flattening [n, tmax] row-major is safe because column 0 of every
+    row is always a span boundary (prev is forced to O there), so no
+    span can cross a row edge."""
+    n, tmax = paths.shape
+    if n == 0 or tmax == 0:
+        return [[] for _ in range(n)], [[] for _ in range(n)], [
+            [] for _ in range(n)
+        ]
+    cols = np.arange(tmax)[None, :]
+    tags = np.where(cols < lens[:, None], paths, 0)
+    prev = np.zeros_like(tags)
+    prev[:, 1:] = tags[:, :-1]
+    nonzero = tags != 0
+    is_b = ((tags & 1) == 1) & nonzero
+    et = (tags - 1) >> 1  # B-PER/I-PER->0, LOC->1, ORG->2; O->-1
+    pet = (prev - 1) >> 1
+    start = nonzero & (is_b | (prev == 0) | (et != pet))
+    term = ~nonzero | start
+    sidx = np.flatnonzero(start.ravel())
+    tidx = np.flatnonzero(term.ravel())
+    pos = np.searchsorted(tidx, sidx, side="right")
+    ends_flat = np.where(
+        pos < tidx.size, tidx[np.minimum(pos, tidx.size - 1)], n * tmax
+    )
+    row = sidx // tmax
+    begins = sidx - row * tmax
+    ends = ends_flat - row * tmax
+    codes = et.ravel()[sidx]
+    splits = np.cumsum(np.bincount(row, minlength=n))[:-1]
+    return (
+        [x.tolist() for x in np.split(begins, splits)],
+        [x.tolist() for x in np.split(ends, splits)],
+        [x.tolist() for x in np.split(codes, splits)],
+    )
 
 
 def _span(begin: int, end: int, etype: str, text: str) -> dict:

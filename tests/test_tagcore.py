@@ -189,3 +189,124 @@ def test_artifact_rejects_non_half_integer_scores():
         kind="lexicon_ctx_crf", cues=(("dr", "PER", 2.5),), weak=(0,),
     )
     assert TaggerArtifact.from_dict(ok.as_dict()).cues[0][2] == 2.5
+
+
+def _rand_texts(rng, n, alphabet, forms):
+    out = []
+    for _ in range(n):
+        parts = []
+        for _ in range(rng.randint(0, 6)):
+            if rng.rand() < 0.5 and forms:
+                parts.append(forms[rng.randint(len(forms))])
+            else:
+                parts.append(
+                    "".join(
+                        alphabet[rng.randint(len(alphabet))]
+                        for _ in range(rng.randint(1, 8))
+                    )
+                )
+        out.append(" ".join(parts))
+    return out
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_emissions_batch_matches_single(seed):
+    from kgx.tagcore import emissions_batch
+
+    rng = np.random.RandomState(seed)
+    forms = ["ada", "bob corp", "cd", "dd inc"]
+    etypes = ["PER", "ORG", "LOC", "ORG"]
+    art = TaggerArtifact(
+        forms=tuple(forms),
+        etypes=tuple(etypes),
+        transitions=build_transitions(),
+    )
+    m = LexiconMatcher(art)
+    texts = _rand_texts(rng, 40, "abcd ", forms) + ["", "x" * 600]
+    em, lens = emissions_batch(texts, m)
+    assert em.dtype == np.float32
+    for i, t in enumerate(texts):
+        single = emissions(t, m)
+        assert lens[i] == single.shape[0]
+        assert np.array_equal(em[i, : lens[i]], single)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_emissions_ctx_batch_matches_single(seed):
+    from kgx.tagcore import (
+        emissions_ctx,
+        emissions_ctx_batch,
+        make_batch_emitter,
+    )
+
+    rng = np.random.RandomState(seed + 50)
+    forms = ("ada", "bobcorp", "cd")
+    etypes = ("PER", "ORG", "LOC")
+    cues = (("dr ", "PER", 2.0), ("at ", "ORG", 1.5))
+    weak = (1, 0, 0)
+    art = TaggerArtifact(
+        forms=forms,
+        etypes=etypes,
+        transitions=build_transitions(),
+        kind="lexicon_ctx_crf",
+        cues=cues,
+        weak=weak,
+    )
+    m = LexiconMatcher(art)
+    weak_forms = frozenset(f for f, w in zip(forms, weak) if w)
+    texts = _rand_texts(rng, 40, "abcdr t", list(forms)) + [
+        "dr ada", "ada", "at bobcorp", ""
+    ]
+    em, lens = emissions_ctx_batch(texts, m, cues, weak_forms)
+    for i, t in enumerate(texts):
+        single = emissions_ctx(t, m, cues, weak_forms)
+        assert np.array_equal(em[i, : lens[i]], single)
+    # dispatcher picks the ctx model for the v2 kind
+    em2, lens2 = make_batch_emitter(art, m)(texts)
+    assert np.array_equal(em2, em) and np.array_equal(lens2, lens)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_decode_bio_batch_matches_single(seed):
+    """Vectorized span decode == decode_bio on random tag matrices,
+    including invalid IOB2 sequences that exercise the repair path
+    and full-length rows (span running to the padded matrix edge)."""
+    from kgx.tagcore import decode_bio_batch
+
+    rng = np.random.RandomState(seed)
+    n, tmax = 30, 9
+    paths = rng.randint(0, NUM_TAGS, size=(n, tmax)).astype(np.int8)
+    lens = rng.randint(0, tmax + 1, size=n).astype(np.int64)
+    lens[0], paths[0] = tmax, NUM_TAGS - 1  # full row of I-ORG
+    code_of = {"PER": 0, "LOC": 1, "ORG": 2}
+    bs, es, cs = decode_bio_batch(paths, lens)
+    for i in range(n):
+        tags = [TAGS[j] for j in paths[i, : lens[i]]]
+        text = "x" * int(lens[i])
+        spans = decode_bio(tags, text)
+        assert bs[i] == [s["begin"] for s in spans]
+        assert es[i] == [s["end"] for s in spans]
+        assert cs[i] == [code_of[s["etype"]] for s in spans]
+
+
+def test_viterbi_batch_padded_direct():
+    """Padded-core entry point: same paths as the list API for
+    variable-length float32 model inputs, zero past each length."""
+    from kgx.tagcore import viterbi_batch_padded
+
+    rng = np.random.RandomState(11)
+    a = build_transitions()
+    ems = [
+        (rng.randint(-20, 21, size=(t, NUM_TAGS)) / 2.0).astype(np.float32)
+        for t in (3, 1, 7, 5, 7)
+    ]
+    want = viterbi_batch(ems, a)
+    lens = np.array([e.shape[0] for e in ems], dtype=np.int64)
+    em = np.zeros((len(ems), 7, NUM_TAGS), dtype=np.float32)
+    for i, e in enumerate(ems):
+        em[i, : e.shape[0]] = e
+    paths = viterbi_batch_padded(em, lens, a)
+    assert paths.shape == (5, 7)
+    for i in range(len(ems)):
+        assert paths[i, : lens[i]].tolist() == want[i]
+        assert not paths[i, lens[i] :].any() or lens[i] == 7
