@@ -189,12 +189,14 @@ def main() -> None:
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # pair-specific record always; the canonical scaling.json and the
-    # curated BASELINE.md only for the primary (2,8) pair so a
-    # secondary-pair run cannot clobber the headline report
+    # generated report only for the primary (1,4) pair — the pair where
+    # both legs are compute-bound, i.e. the closest single-VM analogue
+    # of adding executors (see BENCH/BASELINE.md) — so a secondary-pair
+    # run cannot clobber the headline report
     with open(os.path.join(REPO, "BENCH",
                            f"scaling_{lv[0]}v{lv[1]}.json"), "w") as f:
         json.dump(out, f, indent=2)
-    primary = lv == [2, 8]
+    primary = lv == [1, 4]
     if primary:
         with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
             json.dump(out, f, indent=2)
