@@ -167,30 +167,24 @@ class LexiconMatcher:
         ]
 
 
-def emissions(text: str, matcher: LexiconMatcher) -> np.ndarray:
-    """Per-char emission scores E[T x 7] (text truncated to MAX_TAG_LEN)."""
-    t = min(len(text), MAX_TAG_LEN)
-    e = np.zeros((t, NUM_TAGS), dtype=np.float32)
-    e[:, 1:] = MISS_SCORE  # default: prefer O
+def _fill_match_rows(e: np.ndarray, text: str, t: int,
+                     matcher: LexiconMatcher) -> None:
+    """Write the v1 per-match B/I scores into e[:t] (shared by the
+    single-text and batched emission builders so the model semantics
+    exist in exactly one place)."""
     for begin, end, etype, _form in matcher.matches(text[:t]):
         b_id, i_id = TAG2ID[f"B-{etype}"], TAG2ID[f"I-{etype}"]
         stop = min(end, t)
         e[begin:stop, :] = MISS_SCORE  # slice-assign, no per-char loop
         e[begin, b_id] = MATCH_SCORE
         e[begin + 1 : stop, i_id] = MATCH_SCORE
-    return e
 
 
-def emissions_ctx(text: str, matcher: LexiconMatcher, cues: tuple,
-                  weak_forms: frozenset) -> np.ndarray:
-    """v2 emission model (kind="lexicon_ctx_crf"): like emissions(),
-    but a cue string ending right before a hit's begin adds its bonus
-    to the B-score, and WEAK forms are emitted only when supported by
-    a cue. A distinct model behind the same slot — the BiLSTM/BERT
-    second-checkpoint story of SURVEY A.3."""
-    t = min(len(text), MAX_TAG_LEN)
-    e = np.zeros((t, NUM_TAGS), dtype=np.float32)
-    e[:, 1:] = MISS_SCORE
+def _fill_match_rows_ctx(e: np.ndarray, text: str, t: int,
+                         matcher: LexiconMatcher, cues: tuple,
+                         weak_forms: frozenset) -> None:
+    """v2 twin of _fill_match_rows: cue-bonused B scores, weak-form
+    gating. The single place that knows the ctx scoring rule."""
     for begin, end, etype, form in matcher.matches(text[:t]):
         bonus = 0.0
         for cs, ce, bo in cues:
@@ -207,6 +201,28 @@ def emissions_ctx(text: str, matcher: LexiconMatcher, cues: tuple,
         e[begin:stop, :] = MISS_SCORE
         e[begin, b_id] = MATCH_SCORE + bonus
         e[begin + 1 : stop, i_id] = MATCH_SCORE
+
+
+def emissions(text: str, matcher: LexiconMatcher) -> np.ndarray:
+    """Per-char emission scores E[T x 7] (text truncated to MAX_TAG_LEN)."""
+    t = min(len(text), MAX_TAG_LEN)
+    e = np.zeros((t, NUM_TAGS), dtype=np.float32)
+    e[:, 1:] = MISS_SCORE  # default: prefer O
+    _fill_match_rows(e, text, t, matcher)
+    return e
+
+
+def emissions_ctx(text: str, matcher: LexiconMatcher, cues: tuple,
+                  weak_forms: frozenset) -> np.ndarray:
+    """v2 emission model (kind="lexicon_ctx_crf"): like emissions(),
+    but a cue string ending right before a hit's begin adds its bonus
+    to the B-score, and WEAK forms are emitted only when supported by
+    a cue. A distinct model behind the same slot — the BiLSTM/BERT
+    second-checkpoint story of SURVEY A.3."""
+    t = min(len(text), MAX_TAG_LEN)
+    e = np.zeros((t, NUM_TAGS), dtype=np.float32)
+    e[:, 1:] = MISS_SCORE
+    _fill_match_rows_ctx(e, text, t, matcher, cues, weak_forms)
     return e
 
 
@@ -230,13 +246,7 @@ def emissions_batch(
         return em, lens
     em[:, :, 1:] = MISS_SCORE
     for i, text in enumerate(texts):
-        t = int(lens[i])
-        for begin, end, etype, _form in matcher.matches(text[:t]):
-            b_id, i_id = TAG2ID[f"B-{etype}"], TAG2ID[f"I-{etype}"]
-            stop = min(end, t)
-            em[i, begin:stop, :] = MISS_SCORE
-            em[i, begin, b_id] = MATCH_SCORE
-            em[i, begin + 1 : stop, i_id] = MATCH_SCORE
+        _fill_match_rows(em[i], text, int(lens[i]), matcher)
     return em, lens
 
 
@@ -258,23 +268,9 @@ def emissions_ctx_batch(
         return em, lens
     em[:, :, 1:] = MISS_SCORE
     for i, text in enumerate(texts):
-        t = int(lens[i])
-        for begin, end, etype, form in matcher.matches(text[:t]):
-            bonus = 0.0
-            for cs, ce, bo in cues:
-                if (
-                    ce == etype
-                    and begin >= len(cs)
-                    and text[begin - len(cs) : begin] == cs
-                ):
-                    bonus = max(bonus, float(bo))
-            if form in weak_forms and bonus == 0.0:
-                continue
-            b_id, i_id = TAG2ID[f"B-{etype}"], TAG2ID[f"I-{etype}"]
-            stop = min(end, t)
-            em[i, begin:stop, :] = MISS_SCORE
-            em[i, begin, b_id] = MATCH_SCORE + bonus
-            em[i, begin + 1 : stop, i_id] = MATCH_SCORE
+        _fill_match_rows_ctx(
+            em[i], text, int(lens[i]), matcher, cues, weak_forms
+        )
     return em, lens
 
 
