@@ -45,6 +45,52 @@ def stream_transcripts(spark: SparkSession, input_dir: str,
     )
 
 
+def parse_kafka_transcripts(records: DataFrame) -> DataFrame:
+    """Kafka-record -> transcript-turn projection (the schema half of
+    the Kafka source, shared by stream_transcripts_kafka and the
+    tests): `value` is a UTF-8 JSON turn; rows whose JSON is missing
+    an event time fall back to the broker ingest timestamp, so every
+    turn is watermarkable. Works identically on a batch DataFrame of
+    Kafka-shaped rows — which is how it is value-tested without a
+    broker (tests/test_streaming.py)."""
+    turn = F.from_json(F.col("value").cast("string"), TRANSCRIPT_SCHEMA)
+    return records.select(
+        turn.alias("t"), F.col("timestamp").alias("_kafka_ts")
+    ).select(
+        "t.conv_id", "t.turn_idx", "t.role", "t.text", "t.tool",
+        F.coalesce("t.ts", "_kafka_ts").alias("ts"),
+    )
+
+
+def stream_transcripts_kafka(spark: SparkSession, bootstrap_servers: str,
+                             topic: str,
+                             starting_offsets: str = "earliest") -> DataFrame:
+    """Kafka-source stream of transcript turns — the drop-in
+    alternative to the file source for a deployment where turns arrive
+    on a topic instead of as parquet files. Offsets live in the same
+    streaming checkpoint, so exactly-once bookkeeping is unchanged.
+
+    The spark-sql-kafka connector jar is not shipped in this sandbox,
+    so `load()` raises and we re-raise with the deployment hint; the
+    projection itself (parse_kafka_transcripts) is real and
+    value-tested against batch Kafka-shaped rows."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    try:
+        raw = reader.load()
+    except Exception as exc:  # connector jar absent
+        raise RuntimeError(
+            "Kafka source needs the spark-sql-kafka-0-10 connector on "
+            "the classpath (spark-submit --packages org.apache.spark:"
+            f"spark-sql-kafka-0-10_2.13:<spark-version>): {exc}"
+        ) from exc
+    return parse_kafka_transcripts(raw)
+
+
 def stream_mentions(turns: DataFrame, tag_spans_udf) -> DataFrame:
     """Streaming tag+decode -> exploded mention rows (stateless: the
     pandas UDF runs per micro-batch exactly as in batch)."""

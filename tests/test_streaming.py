@@ -173,3 +173,50 @@ def test_stream_dedupe_within_watermark(stream_env, tmp_path):
     q.stop()
     assert len(rows) == first.count()          # duplicates dropped
     assert len(set(rows)) == len(rows)         # all unique keys
+
+
+def test_kafka_projection_roundtrip(spark):
+    """parse_kafka_transcripts applied to batch Kafka-shaped rows must
+    recover every turn field and fall back to the broker timestamp
+    when the JSON carries no event ts — the schema half of the Kafka
+    source, value-tested without a broker (the connector jar is not
+    shipped here; stream_transcripts_kafka raises with a deployment
+    hint instead, covered below)."""
+    import datetime as dt
+    import json as js
+
+    broker_ts = dt.datetime(2026, 1, 2, 3, 4, 5)
+    turns = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user",
+         "text": "hello", "tool": None, "ts": "2026-01-01T00:00:00"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "tool",
+         "text": "ran", "tool": "search", "ts": None},  # -> broker ts
+    ]
+    records = spark.createDataFrame(
+        [
+            ("k".encode(), js.dumps(t).encode(), "transcripts", 0, i,
+             broker_ts, 0)
+            for i, t in enumerate(turns)
+        ],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp, timestampType int",
+    )
+    got = {
+        r["turn_idx"]: r
+        for r in streaming.parse_kafka_transcripts(records).collect()
+    }
+    assert [f.name for f in streaming.parse_kafka_transcripts(
+        records).schema.fields] == [
+        f.name for f in streaming.TRANSCRIPT_SCHEMA.fields]
+    assert got[0]["conv_id"] == "c1" and got[0]["text"] == "hello"
+    assert got[0]["ts"] == dt.datetime(2026, 1, 1)
+    assert got[1]["tool"] == "search"
+    assert got[1]["ts"] == broker_ts  # ingest-time fallback
+
+
+def test_kafka_source_raises_deployment_hint(spark):
+    """Without the connector jar the Kafka source must fail fast with
+    the --packages hint, not a bare ClassNotFound."""
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        streaming.stream_transcripts_kafka(
+            spark, "localhost:9092", "transcripts")
