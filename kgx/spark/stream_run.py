@@ -11,6 +11,10 @@ and replay exactly-once (batch-tagged segments + commit marker).
         --out /data/wh --checkpoint /data/ck --dims fixtures/t1 \
         [--compact-every 16] [--max-files-per-trigger 4]
 
+`--kafka BOOTSTRAP_SERVERS/TOPIC` swaps the file source for a Kafka
+topic (same checkpoint/exactly-once semantics; needs the
+spark-sql-kafka connector on the classpath).
+
 --dims points at a directory holding alias_dict.parquet,
 patterns.parquet and the tagger artifact (the same layout the batch
 CLI's --input uses).
@@ -25,8 +29,13 @@ import time
 
 def main(argv=None) -> dict:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--arrivals", required=True,
-                    help="directory watched for transcript parquet files")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--arrivals",
+                     help="directory watched for transcript parquet files")
+    src.add_argument("--kafka",
+                     help="Kafka source instead of files: "
+                     "BOOTSTRAP_SERVERS/TOPIC (needs the "
+                     "spark-sql-kafka connector on the classpath)")
     ap.add_argument("--out", required=True, help="warehouse directory")
     ap.add_argument("--checkpoint", required=True,
                     help="streaming checkpoint (source offsets)")
@@ -52,12 +61,20 @@ def main(argv=None) -> dict:
     udf = make_tagger_spans_udf(spark, dims["artifact"])
     dict_df = dims["dict_df"]
 
+    turns = None
+    if args.kafka:
+        bootstrap, _, topic = args.kafka.rpartition("/")
+        if not bootstrap or not topic:
+            raise SystemExit("--kafka expects BOOTSTRAP_SERVERS/TOPIC")
+        turns = streaming.stream_transcripts_kafka(spark, bootstrap, topic)
+
     t0 = time.time()
     streaming.run_incremental_canon(
         spark, args.arrivals, args.checkpoint, args.out, udf, dict_df,
         patterns_rows=dims["patterns_rows"],
         max_files_per_trigger=args.max_files_per_trigger,
         compact_every=args.compact_every,
+        turns=turns,
     )
     io = TableIO(args.out)
     state = {}

@@ -409,19 +409,26 @@ def incremental_canon_updater(spark: SparkSession, warehouse: str,
     return update
 
 
-def run_incremental_canon(spark: SparkSession, arrivals_dir: str,
+def run_incremental_canon(spark: SparkSession, arrivals_dir: str | None,
                           checkpoint_dir: str, warehouse: str,
                           tag_spans_udf, dict_df: DataFrame,
                           patterns_rows: list | None = None,
                           max_files_per_trigger: int = 1,
-                          compact_every: int = 0):
-    """Drain currently-available transcript files through the
+                          compact_every: int = 0,
+                          turns: DataFrame | None = None):
+    """Drain currently-available transcript arrivals through the
     incremental link/canon/edge path (Trigger.AvailableNow);
-    restarting with the same checkpoint processes only files that
-    arrived in between, merging them into the same warehouse state."""
-    turns = stream_transcripts(
-        spark, arrivals_dir,
-        max_files_per_trigger=max_files_per_trigger)
+    restarting with the same checkpoint processes only arrivals since
+    the last run, merging them into the same warehouse state.
+
+    Pass `turns` to use any source stream (e.g.
+    stream_transcripts_kafka); default is the file source over
+    `arrivals_dir`. The updater is source-agnostic — offsets live in
+    the streaming checkpoint either way."""
+    if turns is None:
+        turns = stream_transcripts(
+            spark, arrivals_dir,
+            max_files_per_trigger=max_files_per_trigger)
     q = (
         turns.writeStream
         .foreachBatch(incremental_canon_updater(
