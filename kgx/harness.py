@@ -1959,34 +1959,22 @@ def dedup_embedding_cosine(spark, sf):
 @op("ann_ivf_topk", None)
 def ann_ivf_topk(spark, sf):
     """IVF (inverted-file) ANN — the scale path for similarity search:
-    deterministic coarse centroids (k-means on a seeded driver-side
-    sample, k=8, 5 Lloyd iterations), every vector assigned to its
-    nearest centroid JVM-side, then the query searches only the
-    nprobe=2 closest cells. Recall vs brute force is pytest-gated
-    (tests/test_ann.py); centroids are data-derived so the op itself
-    is rows-only."""
-    import numpy as np
+    coarse centroids trained by DISTRIBUTED Lloyd iterations
+    (MLlib-style: assignment and per-cell means are DataFrame jobs
+    over the FULL table; only the k centroid vectors — O(k*dim),
+    which must be broadcast anyway — ever sit on the driver), every
+    vector assigned to its nearest centroid JVM-side, then the query
+    searches only the nprobe=2 closest cells. Seeds are the k
+    lowest-vec_id vectors (deterministic under any partitioning).
+    Exactness-within-probed-cells is pytest-gated (tests/test_ann.py);
+    centroids are data-derived so the op itself is rows-only.
+    At 100 TB: k grows with n (bounded cell size), each Lloyd
+    iteration stays one scan + one k*dim-sized aggregate."""
+    K, ITERS = 8, 5
 
     e = t(spark, sf, "embeddings").withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
-    # driver-side seeded sample -> Lloyd; sample is tiny (<=512 rows)
-    sample = np.array(
-        [r["v"] for r in e.select("v").limit(512).collect()],
-        dtype=np.float64,
-    )
-    k, rng = 8, np.random.RandomState(42)
-    cents = sample[rng.choice(len(sample), k, replace=False)]
-    for _ in range(5):
-        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-        assign = d2.argmin(1)
-        for j in range(k):
-            pts = sample[assign == j]
-            if len(pts):
-                cents[j] = pts.mean(0)
-
-    cent_rows = [(int(j), [float(x) for x in cents[j]]) for j in range(k)]
-    cdf = spark.createDataFrame(cent_rows, "cell int, c array<double>")
 
     def dist2(vcol, ccol):
         return F.aggregate(
@@ -1995,15 +1983,56 @@ def ann_ivf_topk(spark, sf):
             lambda acc, x: acc + x,
         )
 
-    # assign each vector to its nearest cell (broadcast centroids)
-    w = Window.partitionBy("vec_id").orderBy("d2", "cell")
-    assigned = (
-        e.crossJoin(F.broadcast(cdf))
-        .withColumn("d2", dist2(F.col("v"), F.col("c")))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", "cell")
-    )
+    def assign(cents):
+        # nearest cell per vector as ONE codegen expression: array_min
+        # over k struct(d2, cell) literals (ties -> lowest cell id).
+        # No join, no shuffle — the centroids ride inside the plan,
+        # which is the broadcast in its cheapest form.
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        dist2(
+                            F.col("v"), F.lit([float(x) for x in c])
+                        ).alias("d2"),
+                        F.lit(j).alias("cell"),
+                    )
+                    for j, c in sorted(cents.items())
+                ]
+            )
+        )
+        return e.select("vec_id", "v", best["cell"].alias("cell"))
+
+    def cdf_of(cents):
+        return spark.createDataFrame(
+            [(j, [float(x) for x in c]) for j, c in sorted(cents.items())],
+            "cell int, c array<double>",
+        )
+
+    cents = {
+        j: r["v"]
+        for j, r in enumerate(e.orderBy("vec_id").limit(K).collect())
+    }
+    for _ in range(ITERS):
+        means = (
+            assign(cents)
+            .select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("x"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "x"))),
+                    lambda s: s["x"],
+                ).alias("c")
+            )
+            .collect()  # k rows of dim doubles — the only driver data
+        )
+        for r in means:  # empty cells keep their previous centroid
+            cents[r["cell"]] = r["c"]
+
+    cdf = cdf_of(cents)
+    assigned = assign(cents)
     # query = vec 0; probe its nprobe=2 nearest cells
     qv = assigned.where(F.col("vec_id") == 0).select(
         F.col("v").alias("qv"))
