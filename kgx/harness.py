@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kgx.contract import JACCARD_TAU
+from kgx.spark.lsh import MAX_LSH_BUCKET, guarded_bucket_pairs
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FIXTURE_T1 = os.path.join(REPO, "fixtures", "t1")
@@ -1379,59 +1380,25 @@ def dedup_exact(spark, sf):
     )
 
 
-MAX_LSH_BUCKET = 64  # self-join guard: a bucket of n costs n^2 pairs
-
-
 def _lsh_candidate_pairs(banded: DataFrame, id_col: str,
                          bk_col: str = "bk",
                          cap: int = MAX_LSH_BUCKET) -> DataFrame:
     """(id, band-key) rows -> deduped candidate pairs (id_a < id_b).
 
-    Buckets up to `cap` members emit the full within-bucket clique via
-    an equi self-join. LARGER buckets (a cluster of thousands of
-    near-identical documents — exactly the heaviest dedup target) are
-    NOT dropped: every member is star-linked to the bucket's min id,
-    which is linear in bucket size and keeps the cluster connected for
-    downstream connected-components, instead of quadratic (or, worse,
-    silently absent).
-
-    Recall caveat (star-link is an APPROXIMATION conditional on bucket
-    homogeneity): star edges still pass the downstream similarity
-    verify, so in an oversized bucket only pairs involving the min-id
-    member survive directly — two members both within threshold of
-    each other but not of the representative are not emitted. For
-    near-identical clusters (the case that actually produces oversized
-    buckets) the representative is within threshold of everyone and
-    connectivity is preserved; heterogeneous oversized buckets trade
-    that tail of recall for linear cost. In particular the multi-band
-    pigeonhole guarantee of dedup_simhash holds only for pairs whose
-    shared band bucket is within `cap` (tests/test_dedup.py pins
-    exactly this contract).
-
-    The banded frame is materialized once (localCheckpoint): it feeds
-    the self-join twice plus the bucket-size aggregate, and without a
-    cut Catalyst re-evaluates the whole upstream signature pipeline
-    for each of the four subtrees (measured ~2x the op)."""
-    banded = banded.localCheckpoint()
-    sizes = banded.groupBy(bk_col).agg(
-        F.count("*").alias("n"), F.min(id_col).alias("mn")
+    Thin adapter over the SHARED bucket-size guard
+    (kgx/spark/lsh.py guarded_bucket_pairs — one implementation for
+    both the dedup harness family and the production A.7 link stage,
+    so the two cannot drift): buckets up to `cap` members emit the
+    full within-bucket clique, larger buckets star-link every member
+    to the bucket's min id (linear, connectivity-preserving; recall
+    caveat + multi-band pigeonhole contract documented in the shared
+    module and pinned by tests/test_dedup.py)."""
+    pairs = guarded_bucket_pairs(
+        banded, bucket_cols=[bk_col], member_cols=[id_col], cap=cap
     )
-    bs = banded.join(sizes, bk_col)
-    small = bs.where(F.col("n") <= cap).select(bk_col, id_col)
-    a, b = small.alias("a"), small.alias("b")
-    cand_small = a.join(
-        b,
-        (F.col(f"a.{bk_col}") == F.col(f"b.{bk_col}"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-    )
-    cand_big = bs.where(
-        (F.col("n") > cap) & (F.col(id_col) > F.col("mn"))
-    ).select(F.col("mn").alias("id_a"), F.col(id_col).alias("id_b"))
-    return cand_small.unionByName(cand_big).dropDuplicates(
-        ["id_a", "id_b"]
+    return pairs.select(
+        F.col(f"a_{id_col}").alias("id_a"),
+        F.col(f"b_{id_col}").alias("id_b"),
     )
 
 

@@ -20,6 +20,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kgx.contract import JACCARD_TAU, SEP
+from kgx.spark import lsh as lsh_guard
+from kgx.spark.lsh import (
+    guarded_bucket_pairs,
+    guarded_bucket_pairs_incremental,
+)
 from kgx.spark.udfs import (
     band_key_cols,
     decode_spans,
@@ -391,32 +396,27 @@ def link_nodes(mentions: DataFrame, dict_df: DataFrame) -> DataFrame:
     return dict_nodes.unionByName(prov_nodes)
 
 
-def link_lsh_edges(nodes: DataFrame) -> DataFrame:
-    """MinHash-LSH blocking over distinct (etype, norm) node rows,
-    verified by exact bigram Jaccard (A.7)."""
-    sig = nodes.select("etype", "norm", "node_id").withColumn(
-        "sig", minhash_sig("norm")
-    )
-    banded = sig.select(
-        "etype", "norm", "node_id", F.explode(band_key_cols()).alias("bk")
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.etype") == F.col("b.etype"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.norm") < F.col("b.norm")),
-        )
+def _banded_nodes(nodes: DataFrame) -> DataFrame:
+    """(etype, norm, node_id) -> one row per LSH band bucket key."""
+    return (
+        nodes.select("etype", "norm", "node_id")
+        .withColumn("sig", minhash_sig("norm"))
         .select(
-            F.col("a.node_id").alias("src"),
-            F.col("b.node_id").alias("dst"),
-            F.col("a.norm").alias("norm_a"),
-            F.col("b.norm").alias("norm_b"),
+            "etype", "norm", "node_id",
+            F.explode(band_key_cols()).alias("bk"),
         )
-        .dropDuplicates(["src", "dst", "norm_a", "norm_b"])
     )
+
+
+def _verify_pairs(pairs: DataFrame) -> DataFrame:
+    """Guarded candidate pairs -> verified (src, dst, sim) edges via
+    exact bigram Jaccard (A.7 verify step, pure JVM)."""
+    cand = pairs.select(
+        F.col("a_node_id").alias("src"),
+        F.col("b_node_id").alias("dst"),
+        F.col("a_norm").alias("norm_a"),
+        F.col("b_norm").alias("norm_b"),
+    ).dropDuplicates(["src", "dst", "norm_a", "norm_b"])
     return (
         cand.withColumn("sim", jaccard_col("norm_a", "norm_b"))
         .where(F.col("sim") >= F.lit(JACCARD_TAU))
@@ -426,51 +426,51 @@ def link_lsh_edges(nodes: DataFrame) -> DataFrame:
     )
 
 
-def link_lsh_edges_incremental(new_nodes: DataFrame,
-                               all_nodes: DataFrame) -> DataFrame:
+def link_lsh_edges(nodes: DataFrame,
+                   cap: int = lsh_guard.MAX_LSH_BUCKET) -> DataFrame:
+    """MinHash-LSH blocking over distinct (etype, norm) node rows,
+    verified by exact bigram Jaccard (A.7).
+
+    Candidate pairs go through the SHARED bucket-size guard
+    (kgx/spark/lsh.py — the same implementation the B.13 dedup harness
+    uses): a band bucket with more than MAX_LSH_BUCKET members — a
+    hot cluster of near-identical aliases, exactly what entity linking
+    attracts at scale — is star-linked to its min-norm member instead
+    of exploding into an O(n^2) within-bucket clique join, keeping the
+    cluster connected for connected-components at linear cost."""
+    return _verify_pairs(
+        guarded_bucket_pairs(
+            _banded_nodes(nodes),
+            bucket_cols=["etype", "bk"],
+            member_cols=["norm", "node_id"],
+            cap=cap,
+        )
+    )
+
+
+def link_lsh_edges_incremental(
+        new_nodes: DataFrame, all_nodes: DataFrame,
+        cap: int = lsh_guard.MAX_LSH_BUCKET) -> DataFrame:
     """Incremental LSH edges: candidate pairs touching at least one
     NEW node (new x all banded equi-join — the cost is proportional to
     the micro-batch, not the accumulated node table), verified by the
     same exact bigram Jaccard. Pairs are normalized to the batch
-    convention (norm_a < norm_b), so union with the previous edge
-    table reproduces exactly the edge set a cold batch run would
-    build (asserted in tests/test_streaming_canon.py)."""
-    def banded(df):
-        return df.select("etype", "norm", "node_id").withColumn(
-            "sig", minhash_sig("norm")
-        ).select(
-            "etype", "norm", "node_id",
-            F.explode(band_key_cols()).alias("bk"),
+    convention (norm_a < norm_b), so for buckets within the shared
+    guard's cap the union with the previous edge table reproduces
+    exactly the edge set a cold batch run would build (asserted in
+    tests/test_streaming_canon.py). Buckets past MAX_LSH_BUCKET
+    star-link new members to the bucket representative plus a bridge
+    to the previous representative — same connected components as the
+    batch guard, not necessarily the same edge list (pinned in
+    tests/test_lsh_guard.py)."""
+    return _verify_pairs(
+        guarded_bucket_pairs_incremental(
+            _banded_nodes(new_nodes),
+            _banded_nodes(all_nodes),
+            bucket_cols=["etype", "bk"],
+            member_cols=["norm", "node_id"],
+            cap=cap,
         )
-
-    a = banded(new_nodes).alias("a")
-    b = banded(all_nodes).alias("b")
-    swap = F.col("a.norm") > F.col("b.norm")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.etype") == F.col("b.etype"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.norm") != F.col("b.norm")),
-        )
-        .select(
-            F.when(swap, F.col("b.node_id")).otherwise(F.col("a.node_id"))
-            .alias("src"),
-            F.when(swap, F.col("a.node_id")).otherwise(F.col("b.node_id"))
-            .alias("dst"),
-            F.when(swap, F.col("b.norm")).otherwise(F.col("a.norm"))
-            .alias("norm_a"),
-            F.when(swap, F.col("a.norm")).otherwise(F.col("b.norm"))
-            .alias("norm_b"),
-        )
-        .dropDuplicates(["src", "dst", "norm_a", "norm_b"])
-    )
-    return (
-        cand.withColumn("sim", jaccard_col("norm_a", "norm_b"))
-        .where(F.col("sim") >= F.lit(JACCARD_TAU))
-        .where(F.col("src") != F.col("dst"))
-        .select("src", "dst", "sim")
-        .dropDuplicates(["src", "dst"])
     )
 
 
