@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -1923,43 +1924,32 @@ def dedup_embedding_cosine(spark, sf):
     )
 
 
-@op("ann_ivf_topk", None)
-def ann_ivf_topk(spark, sf):
-    """IVF (inverted-file) ANN — the scale path for similarity search:
-    coarse centroids trained by DISTRIBUTED Lloyd iterations
-    (MLlib-style: assignment and per-cell means are DataFrame jobs
-    over the FULL table; only the k centroid vectors — O(k*dim),
-    which must be broadcast anyway — ever sit on the driver), every
-    vector assigned to its nearest centroid JVM-side, then the query
-    searches only the nprobe=2 closest cells. Seeds are the k
-    lowest-vec_id vectors (deterministic under any partitioning).
-    Exactness-within-probed-cells is pytest-gated (tests/test_ann.py);
-    centroids are data-derived so the op itself is rows-only.
-    At 100 TB: k grows with n (bounded cell size), each Lloyd
-    iteration stays one scan + one k*dim-sized aggregate."""
-    K, ITERS = 8, 5
+IVF_LITERAL_K_MAX = 16  # codegen literal assignment up to this k
 
-    e = t(spark, sf, "embeddings").withColumn(
-        "v", F.col("embedding").cast("array<double>")
-    )
 
-    def dist2(vcol, ccol):
-        return F.aggregate(
-            F.zip_with(vcol, ccol, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+def ivf_assign(e, cents, k_max_literal: int = IVF_LITERAL_K_MAX):
+    """Assign every vector row (vec_id, v) to its nearest centroid.
 
-    def assign(cents):
-        # nearest cell per vector as ONE codegen expression: array_min
-        # over k struct(d2, cell) literals (ties -> lowest cell id).
-        # No join, no shuffle — the centroids ride inside the plan,
-        # which is the broadcast in its cheapest form.
+    Two physical strategies behind one semantic:
+      * small k (<= `k_max_literal`): ONE codegen expression —
+        array_min over k struct(d2, cell) literals (ties -> lowest
+        cell id). No join, no shuffle; the centroids ride inside the
+        plan, the broadcast in its cheapest form.
+      * large k: k*dim literal nodes would blow up analysis time and
+        push whole-stage codegen past JVM method limits (interpreted
+        fallback per row, per Lloyd iteration), so the centroid
+        matrix is sc.broadcast to an iterator pandas UDF instead —
+        one numpy matmul + argmin per Arrow batch, still no
+        join/shuffle. argmin takes the first minimum, so ties break
+        to the lowest cell id like the literal path (up to float
+        rounding differences between the two dist formulations)."""
+    spark = e.sparkSession
+    if len(cents) <= k_max_literal:
         best = F.array_min(
             F.array(
                 *[
                     F.struct(
-                        dist2(
+                        _dist2(
                             F.col("v"), F.lit([float(x) for x in c])
                         ).alias("d2"),
                         F.lit(j).alias("cell"),
@@ -1970,11 +1960,58 @@ def ann_ivf_topk(spark, sf):
         )
         return e.select("vec_id", "v", best["cell"].alias("cell"))
 
+    C = np.array([cents[j] for j in sorted(cents)], dtype=np.float64)
+    cell_ids = np.array(sorted(cents), dtype=np.int32)
+    bc = spark.sparkContext.broadcast((C, (C * C).sum(axis=1),
+                                       cell_ids))
+
+    @F.pandas_udf("int")
+    def nearest_cell(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        Cm, cn, ids = bc.value
+        for vs in it:
+            if vs.empty:
+                yield pd.Series([], dtype="int32")
+                continue
+            M = np.stack(vs.to_numpy())  # [batch, dim]
+            # argmin of |v-c|^2 = argmin of |c|^2 - 2 v.c (|v|^2 is
+            # constant per row)
+            d2 = cn[None, :] - 2.0 * (M @ Cm.T)
+            yield pd.Series(ids[d2.argmin(axis=1)])
+
+    return e.select("vec_id", "v",
+                    nearest_cell(F.col("v")).alias("cell"))
+
+
+def _dist2(vcol, ccol):
+    return F.aggregate(
+        F.zip_with(vcol, ccol, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_topk_run(spark, sf, k: int = 8, iters: int = 5,
+                 nprobe: int = 2, topk: int = 10):
+    """Parameterized IVF ANN core (see ann_ivf_topk docstring). The
+    assignment strategy switches from plan literals to a broadcast
+    pandas UDF past IVF_LITERAL_K_MAX (tests/test_ann.py pins both
+    paths' exactness and the large-k plan shape)."""
+    e = t(spark, sf, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+
+    dist2 = _dist2
+
+    def assign(cents):
+        return ivf_assign(e, cents)
+
     def cdf_of(cents):
         return spark.createDataFrame(
             [(j, [float(x) for x in c]) for j, c in sorted(cents.items())],
             "cell int, c array<double>",
         )
+
+    K, ITERS = k, iters
 
     cents = {
         j: r["v"]
@@ -2007,7 +2044,7 @@ def ann_ivf_topk(spark, sf):
         cdf.crossJoin(F.broadcast(qv))
         .withColumn("d2", dist2(F.col("c"), F.col("qv")))
         .orderBy("d2", "cell")
-        .limit(2)
+        .limit(nprobe)
         .select("cell")
     )
     cand = assigned.join(F.broadcast(probe), "cell")
@@ -2022,9 +2059,30 @@ def ann_ivf_topk(spark, sf):
         cand.crossJoin(F.broadcast(qv))
         .withColumn("cos", dot / (nrm("v") * nrm("qv")))
         .orderBy(F.desc("cos"), "vec_id")
-        .limit(10)
+        .limit(topk)
         .select("vec_id", "cell", F.round("cos", 6).alias("cos"))
     )
+
+
+@op("ann_ivf_topk", None)
+def ann_ivf_topk(spark, sf):
+    """IVF (inverted-file) ANN — the scale path for similarity search:
+    coarse centroids trained by DISTRIBUTED Lloyd iterations
+    (MLlib-style: assignment and per-cell means are DataFrame jobs
+    over the FULL table; only the k centroid vectors — O(k*dim),
+    which must be broadcast anyway — ever sit on the driver), every
+    vector assigned to its nearest centroid, then the query searches
+    only the nprobe=2 closest cells. Seeds are the k lowest-vec_id
+    vectors (deterministic under any partitioning). Assignment is a
+    single codegen expression at small k and a broadcast-centroid
+    pandas UDF (numpy matmul+argmin per Arrow batch) past
+    IVF_LITERAL_K_MAX — the k~10^3-10^5 a 100-TB corpus implies would
+    otherwise blow up the plan with k*dim literal nodes (ivf_assign).
+    Exactness-within-probed-cells is pytest-gated for BOTH paths
+    (tests/test_ann.py); centroids are data-derived so the op itself
+    is rows-only. At 100 TB: k grows with n (bounded cell size), each
+    Lloyd iteration stays one scan + one k*dim-sized aggregate."""
+    return ivf_topk_run(spark, sf, k=8, iters=5)
 
 
 def _ann_lsh_bucket_sql() -> str:

@@ -154,3 +154,55 @@ def test_brute_force_matches_numpy(spark):
     assert set(got) == set(want)
     for vid in got:
         assert abs(got[vid] - want[vid]) < 1e-5
+
+
+def test_ivf_assign_udf_path_matches_literal_path(spark):
+    """The broadcast-UDF assignment (large k) must agree with the
+    codegen-literal assignment (small k) on the same centroids —
+    strategy switch, not a semantics switch."""
+    from kgx.harness import ivf_assign, t
+
+    e = t(spark, SF, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    cents = {
+        j: list(r["v"])
+        for j, r in enumerate(e.orderBy("vec_id").limit(20).collect())
+    }
+    lit = {r["vec_id"]: r["cell"]
+           for r in ivf_assign(e, cents, k_max_literal=100).collect()}
+    udf = {r["vec_id"]: r["cell"]
+           for r in ivf_assign(e, cents, k_max_literal=1).collect()}
+    assert lit == udf
+
+
+def test_ivf_large_k_plan_and_exactness(spark):
+    """Past IVF_LITERAL_K_MAX the assignment plan must carry NO
+    per-centroid literal expressions (broadcast pandas UDF instead),
+    and the top-k results stay exact within the probed cells."""
+    from test_plans import plan_of
+
+    from kgx.harness import IVF_LITERAL_K_MAX, ivf_topk_run
+
+    k = 64
+    assert k > IVF_LITERAL_K_MAX
+    df = ivf_topk_run(spark, SF, k=k, iters=2)
+    plan = plan_of(df)
+    assert "ArrowEvalPython" in plan  # broadcast-UDF assignment
+    assert "array_min" not in plan    # no k-literal min-of-structs
+
+    got = df.collect()
+    assert got[0]["vec_id"] == 0 and abs(got[0]["cos"] - 1.0) < 1e-9
+    assert len(got) == 10
+    assert len({r["cell"] for r in got}) <= 2  # nprobe=2
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).collect()
+    vecs = {r["vec_id"]: np.array(r["v"]) for r in rows}
+    q = vecs[0]
+    for r in got:
+        v = vecs[r["vec_id"]]
+        cos = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        assert abs(cos - r["cos"]) < 1e-5, r
+    coss = [r["cos"] for r in got]
+    assert coss == sorted(coss, reverse=True)
