@@ -2753,33 +2753,36 @@ def sink_manifest(spark, sf):
 # two dedup ops whose DuckDB oracles are NEW this round, then the
 # oracle-backed ops whose only green row is from round 1.
 _CHECK_FIRST = [
-    # never driver-sampled before round 3
-    "fn_conditional", "fn_map",
-    # new value-hash oracles this round
-    "scan_text_bio", "sink_parquet_partitioned", "scan_iceberg",
-    "sink_manifest", "mm_decode_stub", "sort_within_partitions",
-    "join_skew_aqe",
-    "dedup_minhash_lsh", "dedup_simhash", "graph_triangle_free_check",
-    "text_fingerprint", "ann_lsh_bucket",
-    # round-1-only greens (rotated out of the r2 window)
-    "project_select", "filter_pred", "derive_cols", "filter_null_safe",
-    "join_sort_merge", "join_left_outer", "join_left_semi",
-    "join_left_anti", "join_self_theta", "join_range_interval",
-    "join_cross_small",
-    "agg_distinct", "agg_collect_sorted", "agg_minmax_stats",
-    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_having",
-    "agg_pivot",
-    "win_lag_lead", "win_rank_dense", "win_running_frame", "win_ntile",
-    "win_first_last",
-    "sort_global", "set_intersect", "set_except",
-    "fn_string", "fn_date", "fn_array", "fn_json", "fn_struct",
-    # rows-only ops refreshed with an r3 row
-    "agg_approx_distinct", "fn_math_hash",
-    # KG pipeline tables (north star, keep visible in the r3 record)
+    # round-4 window (driver samples the first 50): ops whose code
+    # changed this round first — the shared LSH guard touched every
+    # dedup/ANN op and the pipeline link/edge/vertex tables, the IVF
+    # assignment got a large-k path — then the ops whose latest green
+    # driver row is round 2 (union r1..r4 stays fully covered).
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_ngram_jaccard",
+    "ann_lsh_bucket", "ann_cosine_topk", "ann_ivf_topk",
     "pipe_mentions", "pipe_triples_raw", "pipe_links", "pipe_edges",
     "pipe_vertices",
-    # heavy value-checked representatives
-    "dedup_embedding_cosine", "graph_connected_components",
+    # latest driver green is round 2
+    "graph_connected_components", "graph_degree", "eval_triple_prf",
+    "udf_scalar_pandas", "udf_grouped_map", "udf_map_partitions",
+    "udf_grouped_agg", "udtf_surface",
+    "text_langid", "text_quality", "text_tokens",
+    # latest driver green is round 1 or 2 (relational core)
+    "scan_parquet", "scan_json_props",
+    "join_broadcast_hash", "join_salted_equi", "join_asof",
+    "agg_hash_count", "agg_two_phase_salted",
+    "win_row_number", "win_session_window",
+    "sort_limit_topk", "set_union_byname",
+    # round-3 oracles kept fresh at the round-4 HEAD
+    "scan_text_bio", "sink_parquet_partitioned", "scan_iceberg",
+    "sink_manifest", "mm_decode_stub", "sort_within_partitions",
+    "join_skew_aqe", "graph_triangle_free_check", "text_fingerprint",
+    "fn_conditional", "fn_map",
+    # streaming ops re-recorded at the new default-compaction config
+    "stream_windowed_counts", "stream_incremental_canon",
+    # rows-only representatives with fresh evidence artifacts
+    "eval_scaling", "udf_iter_tagger",
 ]
 
 
