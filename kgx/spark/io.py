@@ -173,6 +173,34 @@ class TableIO:
             raise ValueError(f"{table}: log_keys mismatch")
         if prev is not None and prev.get("agg_spec") != agg_spec:
             raise ValueError(f"{table}: agg_spec mismatch")
+        if prev is not None:
+            # schema drift fails AT THE WRITE, not at some later read
+            # (parquet schema merge would otherwise null-fill or error
+            # far from the bad append); nullability is excluded — it
+            # varies benignly with the expressions that built a delta
+            want = {f["name"]: f["type"]
+                    for f in prev["schema"]["fields"]}
+            got = {f["name"]: f["type"]
+                   for f in df.schema.jsonValue()["fields"]}
+            if got != want:
+                raise ValueError(
+                    f"{table}: delta schema drift — manifest has "
+                    f"{sorted(want.items())}, append got "
+                    f"{sorted(got.items())}")
+        if log_keys:
+            # one upsert row per key per segment: _read_log's
+            # latest-wins window orders by (_seg desc, _del asc), so
+            # two upserts for one key INSIDE a segment would tie
+            # nondeterministically — reject them at the write
+            dup = (
+                df.groupBy(*log_keys).count()
+                .where(F.col("count") > 1).limit(1).count()
+            )
+            if dup:
+                raise ValueError(
+                    f"{table}: delta contains duplicate rows for a "
+                    f"log key {log_keys} — latest-wins within one "
+                    f"segment would be nondeterministic")
         version = (prev["version"] + 1) if prev else 1
         seg = df.withColumn("_del", F.lit(False))
         if deletes is not None:
@@ -213,9 +241,18 @@ class TableIO:
 
     def prune_batch(self, table: str, batch_tag: str) -> int:
         """Drop every segment written under `batch_tag` (crash
-        rollback for a half-applied batch). Returns segments dropped."""
+        rollback for a half-applied batch). Returns segments dropped.
+
+        `batch_tag` must be a real tag: compacted and untagged
+        segments carry batch_tag None, so a None/absent tag would
+        silently match — and delete — COMMITTED state instead of
+        being a no-op."""
         import shutil
 
+        if batch_tag is None:
+            raise ValueError(
+                "prune_batch(None) would drop compacted/untagged "
+                "segments — pass the batch's tag")
         m = self.manifest(table)
         if not m or m.get("kind") != "log":
             return 0

@@ -643,7 +643,7 @@ def connected_components(nodes: DataFrame, lsh_edges: DataFrame,
             )
             .localCheckpoint()
         )
-        changed = int(obs.get["changed"] or 0)
+        changed = _observed_changed(obs, new_labels)
         labels = new_labels.select("node_id", "label")
         if changed == 0:
             return labels
@@ -657,6 +657,28 @@ def connected_components(nodes: DataFrame, lsh_edges: DataFrame,
                            extra={"cc_iter": it})
             labels = state_io.read(spark, CC_STATE_TABLE)
     raise RuntimeError(f"CC did not converge in {max_iters} iterations")
+
+
+def _observed_changed(obs, new_labels: DataFrame,
+                      timeout_s: float = 30.0) -> int:
+    """Changed-label count for one CC iteration, from the observe()
+    metric that rides the localCheckpoint job — fetched with a
+    BOUNDED wait. Observation.get blocks forever if the runtime never
+    delivers QueryExecutionListener metrics for the checkpoint action
+    (it does on the pinned Spark — asserted by every CC test — but a
+    hang is the wrong failure mode), so poll the non-blocking
+    getRowOrEmpty until the deadline and then fall back to one
+    explicit aggregate over the already-materialized frame."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        if obs._jo is not None and obs._jo.getRowOrEmpty().isDefined():
+            return int(obs.get["changed"] or 0)
+        time.sleep(0.05)
+    return new_labels.where(
+        F.col("label") != F.col("old_label")
+    ).count()
 
 
 def incremental_labels(labels_prev: DataFrame, new_nodes: DataFrame,

@@ -45,7 +45,11 @@ def main(argv=None) -> dict:
     ap.add_argument("--artifact", default="tagger_v1.npz")
     ap.add_argument("--compact-every", type=int, default=16,
                     help="compact the delta logs every N batches "
-                    "(bounds read fan-in; 0 = never)")
+                    "(0 = only the segment-count trigger)")
+    ap.add_argument("--max-segments", type=int, default=16,
+                    help="auto-compact any log table that exceeds "
+                    "this many delta segments after a batch — the "
+                    "default read fan-in bound (0 = never)")
     ap.add_argument("--max-files-per-trigger", type=int, default=4)
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
@@ -74,6 +78,7 @@ def main(argv=None) -> dict:
         patterns_rows=dims["patterns_rows"],
         max_files_per_trigger=args.max_files_per_trigger,
         compact_every=args.compact_every,
+        max_segments=args.max_segments,
         turns=turns,
     )
     io = TableIO(args.out)

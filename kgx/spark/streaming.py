@@ -200,7 +200,8 @@ def _canon_mark_applied(io, batch_id: int) -> None:
 def incremental_canon_updater(spark: SparkSession, warehouse: str,
                               dict_df: DataFrame, tag_spans_udf=None,
                               patterns_rows: list | None = None,
-                              compact_every: int = 0):
+                              compact_every: int = 0,
+                              max_segments: int = 16):
     """foreachBatch sink that streams the WHOLE KG forward: each
     micro-batch of raw turns is tagged in-batch, its mentions merged
     into the accumulated canonical node state (B.9 'incremental
@@ -256,7 +257,15 @@ def incremental_canon_updater(spark: SparkSession, warehouse: str,
     volume is asserted O(batch) — tests/test_streaming_canon.py.
 
     `compact_every` > 0 compacts the logs every K batches (O(state)
-    amortized over K; bounds read fan-in on a long-running stream)."""
+    amortized over K). Independently, `max_segments` (DEFAULT ON at
+    16; 0 disables) auto-compacts any log table whose segment count
+    exceeds it after a batch commits, so an unconfigured long-running
+    stream has BOUNDED read fan-in: each table accumulates at most
+    ~max_segments delta segments before folding back to one, i.e.
+    O(state) compaction IO amortized over max_segments batches —
+    the same amortization as compact_every, but triggered by the
+    fan-in it exists to bound (tests/test_streaming_canon.py pins
+    the default bound over a many-batch run)."""
     from kgx.spark.io import TableIO
 
     if tag_spans_udf is None or patterns_rows is None:
@@ -277,15 +286,20 @@ def incremental_canon_updater(spark: SparkSession, warehouse: str,
 
         def finish() -> None:
             _canon_mark_applied(io, batch_id)
-            if compact_every and (batch_id + 1) % compact_every == 0:
-                for tbl in CANON_TABLES:
-                    m = io.manifest(tbl)
-                    # single-segment tables have nothing to merge —
-                    # rewriting them would burn O(state) IO per
-                    # boundary on sparse streams for zero fan-in gain
-                    if (m is not None and m.get("kind") == "log"
-                            and len(m["segments"]) > 1):
-                        io.compact(spark, tbl)
+            periodic = bool(compact_every
+                            and (batch_id + 1) % compact_every == 0)
+            for tbl in CANON_TABLES:
+                m = io.manifest(tbl)
+                # single-segment tables have nothing to merge —
+                # rewriting them would burn O(state) IO per
+                # boundary on sparse streams for zero fan-in gain
+                if (m is None or m.get("kind") != "log"
+                        or len(m["segments"]) <= 1):
+                    continue
+                over_fanin = bool(max_segments
+                                  and len(m["segments"]) > max_segments)
+                if periodic or over_fanin:
+                    io.compact(spark, tbl)
 
         clean = turns_batch.where(
             F.col("text").isNotNull()
@@ -415,6 +429,7 @@ def run_incremental_canon(spark: SparkSession, arrivals_dir: str | None,
                           patterns_rows: list | None = None,
                           max_files_per_trigger: int = 1,
                           compact_every: int = 0,
+                          max_segments: int = 16,
                           turns: DataFrame | None = None):
     """Drain currently-available transcript arrivals through the
     incremental link/canon/edge path (Trigger.AvailableNow);
@@ -433,7 +448,8 @@ def run_incremental_canon(spark: SparkSession, arrivals_dir: str | None,
         turns.writeStream
         .foreachBatch(incremental_canon_updater(
             spark, warehouse, dict_df, tag_spans_udf,
-            patterns_rows=patterns_rows, compact_every=compact_every))
+            patterns_rows=patterns_rows, compact_every=compact_every,
+            max_segments=max_segments))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

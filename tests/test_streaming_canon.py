@@ -301,3 +301,61 @@ def test_updater_requires_udf_and_patterns(spark, tmp_path):
     with pytest.raises(ValueError, match="patterns_rows"):
         streaming.incremental_canon_updater(
             spark, str(tmp_path), None)
+
+
+def test_auto_compaction_bounds_segment_fanin(spark, t1_dir, tmp_path):
+    """The segment-count compaction trigger is ON by default: a
+    long-running stream with no compaction config must end with a
+    BOUNDED number of delta segments per log table (not one per
+    batch), and the auto-compacted state must still resolve to the
+    batch pipeline's canonical map."""
+    import inspect
+
+    from pyspark.sql import functions as F
+
+    from kgx.spark.udfs import make_tagger_spans_udf
+
+    # default-on contract: both entry points ship a positive bound
+    assert (inspect.signature(streaming.incremental_canon_updater)
+            .parameters["max_segments"].default == 16)
+    assert (inspect.signature(streaming.run_incremental_canon)
+            .parameters["max_segments"].default == 16)
+
+    dims = load_dims(spark, t1_dir)
+    udf = make_tagger_spans_udf(spark, dims["artifact"])
+    wh = str(tmp_path / "wh")
+    cap = 3  # small bound so 10 batches cross it repeatedly
+    update = streaming.incremental_canon_updater(
+        spark, wh, dims["dict_df"], udf,
+        patterns_rows=dims["patterns_rows"], max_segments=cap)
+
+    convs = sorted(
+        r["conv_id"] for r in
+        spark.read.parquet(f"{t1_dir}/transcripts.parquet")
+        .select("conv_id").distinct().collect()
+    )
+    waves = [set(convs[i::10]) for i in range(10)]
+    for i, wave in enumerate(waves):
+        update(_turns_of(spark, t1_dir,
+                         F.col("conv_id").isin(list(wave))), i)
+
+    io = TableIO(wh)
+    for tbl in streaming.CANON_TABLES:
+        m = io.manifest(tbl)
+        if m is None or m.get("kind") != "log":
+            continue
+        nseg = len(m["segments"])
+        assert nseg <= cap + 1, (
+            f"{tbl}: {nseg} segments after 10 batches — fan-in "
+            f"unbounded despite max_segments={cap}")
+
+    got_map = {
+        (r["node_id"], r["canonical_id"])
+        for r in io.read(spark, "entity_map").collect()
+    }
+    batch = run_fixture_pipeline(spark, t1_dir, buckets=8)
+    want_map = {
+        (r["node_id"], r["canonical_id"])
+        for r in batch["entity_map"].collect()
+    }
+    assert got_map == want_map

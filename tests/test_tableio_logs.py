@@ -124,3 +124,59 @@ def test_same_segment_upsert_beats_tombstone(spark, tmp_path):
     )
     got = {(r["id"], r["v"]) for r in io.read(spark, "t").collect()}
     assert got == {(1, "a")}
+
+
+def test_append_rejects_duplicate_log_keys_in_one_delta(spark,
+                                                        tmp_path):
+    """Two upsert rows for one key inside one segment would tie
+    nondeterministically in the latest-wins window — the write must
+    reject them (round-3 ADVICE)."""
+    io = TableIO(str(tmp_path))
+    io.append(spark.createDataFrame([(1, "a")], "id int, v string"),
+              "t", log_keys=["id"], batch_tag="b0")
+    with pytest.raises(ValueError, match="duplicate"):
+        io.append(
+            spark.createDataFrame([(2, "x"), (2, "y")],
+                                  "id int, v string"),
+            "t", log_keys=["id"], batch_tag="b1",
+        )
+    # an upsert plus a tombstone for the SAME key stays legal (the
+    # read-side tie rule pins upsert-beats-tombstone)
+    io.append(
+        spark.createDataFrame([(1, "A")], "id int, v string"),
+        "t", log_keys=["id"], batch_tag="b2",
+        deletes=spark.createDataFrame([(1,)], "id int"),
+    )
+    assert _rows(io.read(spark, "t"), "id", "v") == {(1, "A")}
+
+
+def test_append_rejects_schema_drift(spark, tmp_path):
+    """A delta whose column types drifted must fail at the write, not
+    null-fill or error at some later read (round-3 ADVICE)."""
+    io = TableIO(str(tmp_path))
+    io.append(spark.createDataFrame([(1, "a")], "id int, v string"),
+              "t", batch_tag="b0")
+    with pytest.raises(ValueError, match="schema drift"):
+        io.append(spark.createDataFrame([(2, 99)], "id int, v int"),
+                  "t", batch_tag="b1")
+    with pytest.raises(ValueError, match="schema drift"):
+        io.append(spark.createDataFrame([("x", "b")],
+                                        "id string, v string"),
+                  "t", batch_tag="b1")
+    # same shape still appends fine after the rejects
+    io.append(spark.createDataFrame([(2, "b")], "id int, v string"),
+              "t", batch_tag="b1")
+    assert _rows(io.read(spark, "t"), "id", "v") == {(1, "a"), (2, "b")}
+
+
+def test_prune_batch_requires_a_tag(spark, tmp_path):
+    """prune_batch(None) would match compacted/untagged segments and
+    silently delete committed state — it must raise instead
+    (round-3 ADVICE)."""
+    io = TableIO(str(tmp_path))
+    io.append(spark.createDataFrame([(1, "a")], "id int, v string"),
+              "t", batch_tag="b0")
+    io.compact(spark, "t")  # compacted segment carries batch_tag None
+    with pytest.raises(ValueError, match="prune_batch"):
+        io.prune_batch("t", None)
+    assert _rows(io.read(spark, "t"), "id", "v") == {(1, "a")}
