@@ -112,7 +112,11 @@ def guarded_bucket_pairs_incremental(
 
     `all_banded` must be a superset of `new_banded` (the accumulated
     member set INCLUDING this batch).  Output shape and ordering match
-    :func:`guarded_bucket_pairs`.
+    :func:`guarded_bucket_pairs`.  The accumulated side is scanned
+    ONCE, filtered by broadcast semi-join to the buckets the batch
+    touches, and materialized — so the pair join, the size aggregate,
+    and the representative lookup all run over the batch's bucket
+    working set, not the full accumulated table.
 
     Buckets whose accumulated size is <= `cap` emit new x all pairs
     (strictly ordered on the first member column, order-normalized) —
@@ -134,11 +138,24 @@ def guarded_bucket_pairs_incremental(
     new_m = (
         new_banded.select(*bucket_cols, m.alias("m")).localCheckpoint()
     )
-    all_m = all_banded.select(*bucket_cols, m.alias("m"))
+    # one scan of the accumulated side: restrict it to the buckets
+    # this batch touches (broadcast semi-join — the new side is
+    # batch-sized) and materialize the touched membership once; every
+    # aggregate and join below is then proportional to the batch's
+    # bucket working set, never to the full accumulated table
+    all_m = (
+        all_banded.select(*bucket_cols, m.alias("m"))
+        .join(
+            F.broadcast(new_m.select(*bucket_cols).distinct()),
+            bucket_cols,
+            "left_semi",
+        )
+        .localCheckpoint()
+    )
     # flag rows of the all side that belong to this batch, then one
     # aggregate computes size, representative, and the min OLD member
     allf = all_m.join(
-        new_m.withColumn("_new", F.lit(1)),
+        F.broadcast(new_m.withColumn("_new", F.lit(1))),
         [*bucket_cols, "m"],
         "left",
     )

@@ -396,8 +396,14 @@ def link_nodes(mentions: DataFrame, dict_df: DataFrame) -> DataFrame:
     return dict_nodes.unionByName(prov_nodes)
 
 
-def _banded_nodes(nodes: DataFrame) -> DataFrame:
-    """(etype, norm, node_id) -> one row per LSH band bucket key."""
+def banded_nodes(nodes: DataFrame) -> DataFrame:
+    """(etype, norm, node_id) -> one row per LSH band bucket key.
+
+    Band keys are a pure function of `norm`, so for IMMUTABLE node
+    rows they can be computed once and stored (the streaming path
+    keeps them in the node_bands log — per batch the MinHash pandas
+    UDF then runs over the NEW nodes only, while the accumulated
+    side is a plain parquet scan of stored bands)."""
     return (
         nodes.select("etype", "norm", "node_id")
         .withColumn("sig", minhash_sig("norm"))
@@ -440,7 +446,7 @@ def link_lsh_edges(nodes: DataFrame,
     cluster connected for connected-components at linear cost."""
     return _verify_pairs(
         guarded_bucket_pairs(
-            _banded_nodes(nodes),
+            banded_nodes(nodes),
             bucket_cols=["etype", "bk"],
             member_cols=["norm", "node_id"],
             cap=cap,
@@ -463,10 +469,23 @@ def link_lsh_edges_incremental(
     to the previous representative — same connected components as the
     batch guard, not necessarily the same edge list (pinned in
     tests/test_lsh_guard.py)."""
+    return link_lsh_edges_incremental_banded(
+        banded_nodes(new_nodes), banded_nodes(all_nodes), cap=cap
+    )
+
+
+def link_lsh_edges_incremental_banded(
+        new_banded: DataFrame, all_banded: DataFrame,
+        cap: int = lsh_guard.MAX_LSH_BUCKET) -> DataFrame:
+    """link_lsh_edges_incremental over PRE-BANDED frames
+    (etype, norm, node_id, bk) — the streaming path stores bands in
+    the node_bands log when a node first arrives (bands are a pure
+    function of the immutable norm), so the accumulated side here is
+    a plain parquet scan with no per-batch MinHash recompute."""
     return _verify_pairs(
         guarded_bucket_pairs_incremental(
-            _banded_nodes(new_nodes),
-            _banded_nodes(all_nodes),
+            new_banded,
+            all_banded,
             bucket_cols=["etype", "bk"],
             member_cols=["norm", "node_id"],
             cap=cap,

@@ -155,8 +155,8 @@ def run_available_now(query_df: DataFrame, checkpoint_dir: str,
     return q
 
 
-CANON_TABLES = ("nodes", "lsh_edges", "cc_labels", "entity_map",
-                "cc_vertices", "edges_raw", "tool_turns",
+CANON_TABLES = ("nodes", "node_bands", "lsh_edges", "cc_labels",
+                "entity_map", "cc_vertices", "edges_raw", "tool_turns",
                 "conv_speakers")
 
 EDGES_AGG_SPEC = {
@@ -342,6 +342,11 @@ def incremental_canon_updater(spark: SparkSession, warehouse: str,
             io.append(nodes_b.dropDuplicates(["node_id", "norm"]),
                       "nodes", batch_tag=tag)
             nodes0 = io.read(spark, "nodes")
+            # band keys are computed ONCE per node (pure function of
+            # the immutable norm) and stored, so later batches scan
+            # them instead of re-running MinHash over accumulated state
+            io.append(stages.banded_nodes(nodes0), "node_bands",
+                      batch_tag=tag)
             io.append(stages.link_lsh_edges(nodes0), "lsh_edges",
                       batch_tag=tag)
             edges0 = io.read(spark, "lsh_edges")
@@ -375,8 +380,17 @@ def incremental_canon_updater(spark: SparkSession, warehouse: str,
             return
         io.append(new_only, "nodes", batch_tag=tag)
         nodes_all = io.read(spark, "nodes")
-        lsh_new = stages.link_lsh_edges_incremental(
-            new_only, nodes_all
+        if io.manifest("node_bands") is None:
+            # one-time migration for a warehouse created before the
+            # stored-bands log: seed from the pre-batch node state
+            # (O(state) once; the segment carries this batch's tag so
+            # a crash rollback simply redoes the seeding)
+            io.append(stages.banded_nodes(nodes_prev), "node_bands",
+                      batch_tag=tag)
+        new_bands = stages.banded_nodes(new_only).localCheckpoint()
+        io.append(new_bands, "node_bands", batch_tag=tag)
+        lsh_new = stages.link_lsh_edges_incremental_banded(
+            new_bands, io.read(spark, "node_bands")
         ).localCheckpoint()
         io.append(lsh_new.select("src", "dst", "sim"), "lsh_edges",
                   batch_tag=tag)
