@@ -1927,7 +1927,8 @@ def dedup_embedding_cosine(spark, sf):
 IVF_LITERAL_K_MAX = 16  # codegen literal assignment up to this k
 
 
-def ivf_assign(e, cents, k_max_literal: int = IVF_LITERAL_K_MAX):
+def ivf_assign(e, cents, k_max_literal: int = IVF_LITERAL_K_MAX,
+               bc_out: list | None = None):
     """Assign every vector row (vec_id, v) to its nearest centroid.
 
     Two physical strategies behind one semantic:
@@ -1942,7 +1943,14 @@ def ivf_assign(e, cents, k_max_literal: int = IVF_LITERAL_K_MAX):
         one numpy matmul + argmin per Arrow batch, still no
         join/shuffle. argmin takes the first minimum, so ties break
         to the lowest cell id like the literal path (up to float
-        rounding differences between the two dist formulations)."""
+        rounding differences between the two dist formulations).
+
+    Pass `bc_out` (a list) to receive the Broadcast handle on the
+    large-k path so the caller can destroy() it once the assignment's
+    action has run — at the k*dim sizes the large-k path exists for,
+    leaking one centroid matrix per Lloyd iteration on the driver and
+    every executor is real memory (ivf_topk_run destroys each
+    training iteration's broadcast after its collect)."""
     spark = e.sparkSession
     if len(cents) <= k_max_literal:
         best = F.array_min(
@@ -1964,6 +1972,8 @@ def ivf_assign(e, cents, k_max_literal: int = IVF_LITERAL_K_MAX):
     cell_ids = np.array(sorted(cents), dtype=np.int32)
     bc = spark.sparkContext.broadcast((C, (C * C).sum(axis=1),
                                        cell_ids))
+    if bc_out is not None:
+        bc_out.append(bc)
 
     @F.pandas_udf("int")
     def nearest_cell(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -2002,8 +2012,8 @@ def ivf_topk_run(spark, sf, k: int = 8, iters: int = 5,
 
     dist2 = _dist2
 
-    def assign(cents):
-        return ivf_assign(e, cents)
+    def assign(cents, bc_out=None):
+        return ivf_assign(e, cents, bc_out=bc_out)
 
     def cdf_of(cents):
         return spark.createDataFrame(
@@ -2018,8 +2028,9 @@ def ivf_topk_run(spark, sf, k: int = 8, iters: int = 5,
         for j, r in enumerate(e.orderBy("vec_id").limit(K).collect())
     }
     for _ in range(ITERS):
+        iter_bcs: list = []
         means = (
-            assign(cents)
+            assign(cents, bc_out=iter_bcs)
             .select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(F.avg("x").alias("x"))
@@ -2034,6 +2045,8 @@ def ivf_topk_run(spark, sf, k: int = 8, iters: int = 5,
         )
         for r in means:  # empty cells keep their previous centroid
             cents[r["cell"]] = r["c"]
+        for bc in iter_bcs:  # this iteration's action is done —
+            bc.destroy()     # don't leak k*dim per Lloyd iteration
 
     cdf = cdf_of(cents)
     assigned = assign(cents)

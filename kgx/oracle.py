@@ -207,7 +207,14 @@ def link_and_canonicalize(mentions: list[dict], alias_rows: list[dict]):
                     "is_prov": 1,
                 }
 
-    # MinHash-LSH over all node rows, same-etype buckets
+    # MinHash-LSH over all node rows, same-etype buckets.
+    # NOTE: the oracle emits the FULL within-bucket clique (the A.7
+    # contract); the production stage caps buckets at MAX_LSH_BUCKET
+    # and star-links (kgx/spark/lsh.py) — a deliberate scale
+    # approximation. Parity between the two therefore presupposes
+    # every fixture bucket stays within the cap, which
+    # tests/test_lsh_guard.py::test_fixture_band_buckets_within_guard_cap
+    # pins explicitly.
     buckets: dict[tuple[str, str], list[tuple[str, str]]] = defaultdict(list)
     for (etype, norm) in sorted(node_rows):
         sig = minhash_signature(norm)

@@ -187,20 +187,6 @@ class TableIO:
                     f"{table}: delta schema drift — manifest has "
                     f"{sorted(want.items())}, append got "
                     f"{sorted(got.items())}")
-        if log_keys:
-            # one upsert row per key per segment: _read_log's
-            # latest-wins window orders by (_seg desc, _del asc), so
-            # two upserts for one key INSIDE a segment would tie
-            # nondeterministically — reject them at the write
-            dup = (
-                df.groupBy(*log_keys).count()
-                .where(F.col("count") > 1).limit(1).count()
-            )
-            if dup:
-                raise ValueError(
-                    f"{table}: delta contains duplicate rows for a "
-                    f"log key {log_keys} — latest-wins within one "
-                    f"segment would be nondeterministic")
         version = (prev["version"] + 1) if prev else 1
         seg = df.withColumn("_del", F.lit(False))
         if deletes is not None:
@@ -217,6 +203,29 @@ class TableIO:
             )
         seg = seg.withColumn("_seg", F.lit(version))
         seg.write.mode("overwrite").parquet(self.path(table, version))
+        if log_keys:
+            # one upsert row per key per segment: _read_log's
+            # latest-wins window orders by (_seg desc, _del asc), so
+            # two upserts for one key INSIDE a segment would tie
+            # nondeterministically — reject them at the write. The
+            # check scans the segment just WRITTEN (cheap, local
+            # parquet) rather than re-executing the delta's
+            # unmaterialized plan a second time.
+            dup = (
+                df.sparkSession.read.parquet(self.path(table, version))
+                .where(~F.col("_del"))
+                .groupBy(*log_keys).count()
+                .where(F.col("count") > 1).limit(1).count()
+            )
+            if dup:
+                import shutil
+
+                shutil.rmtree(self.path(table, version),
+                              ignore_errors=True)
+                raise ValueError(
+                    f"{table}: delta contains duplicate rows for a "
+                    f"log key {log_keys} — latest-wins within one "
+                    f"segment would be nondeterministic")
         stats = self.file_stats(table, version)
         rows = sum(r for _, r, _ in stats)
         nbytes = sum(b for _, _, b in stats)

@@ -122,16 +122,26 @@ def guarded_bucket_pairs_incremental(
     (strictly ordered on the first member column, order-normalized) —
     the union over batches reproduces exactly the clique the batch
     guard emits, which is what the batch==stream equality suite pins.
-    Larger buckets emit:
-      * a star pair (representative, new member) per new member, and
-      * one bridging pair (representative, min OLD member) per bucket,
-        so that when a NEW member becomes the bucket's representative
-        the previously-accumulated component stays connected to it.
-    Once a bucket crosses `cap`, the union over batches is therefore a
-    connectivity-preserving SUBSET-plus-bridges of the batch guard's
-    star set (the representative may move as smaller members arrive) —
-    same components, not necessarily the same edge list; the
-    oversized-bucket property test pins components, not edges.
+    Larger buckets emit stars:
+      * if the bucket's representative is unchanged by this batch
+        (it is an OLD member), a star pair (representative, new
+        member) per new member;
+      * if a NEW member became the representative, a star pair
+        (representative, member) for EVERY member of the bucket —
+        linear in bucket size, paid only on representative-change
+        batches.
+    Consequently every member of an oversized bucket is at some batch
+    paired directly with the bucket's FINAL representative (when it
+    arrived, or when the final representative arrived after it), so
+    the union over batches is a SUPERSET of the batch guard's star
+    set: at the guard level the components are identical (pinned by
+    the oversized-bucket property test), and after a downstream
+    similarity verify the incremental path merges everything the
+    batch path merges (it may additionally merge via
+    interim-representative pairs that also pass the verify — a
+    true-similarity edge either way; heterogeneous oversized buckets
+    already concede this recall/precision tail in BOTH paths, see the
+    module docstring).
     """
     first = member_cols[0]
     m = F.struct(*[F.col(c) for c in member_cols])
@@ -167,9 +177,7 @@ def guarded_bucket_pairs_incremental(
         ),
     )
     new_s = new_m.join(sizes, bucket_cols)
-    all_s = all_m.join(
-        sizes.select(*bucket_cols, "n"), bucket_cols
-    )
+    all_s = all_m.join(sizes, bucket_cols)
     a = new_s.where(F.col("n") <= cap).alias("a")
     b = all_s.where(F.col("n") <= cap).alias("b")
     swap = F.col(f"a.m.{first}") > F.col(f"b.m.{first}")
@@ -181,15 +189,20 @@ def guarded_bucket_pairs_incremental(
         F.when(swap, F.col("b.m")).otherwise(F.col("a.m")).alias("ma"),
         F.when(swap, F.col("a.m")).otherwise(F.col("b.m")).alias("mb"),
     )
-    stars = new_s.where(
-        (F.col("n") > cap)
-        & (F.col(f"m.{first}") != F.col(f"rep.{first}"))
-    ).select(F.col("rep").alias("ma"), F.col("m").alias("mb"))
-    bridges = sizes.where(
-        (F.col("n") > cap)
-        & F.col("rep_old").isNotNull()
-        & (F.col(f"rep_old.{first}") != F.col(f"rep.{first}"))
-    ).select(F.col("rep").alias("ma"), F.col("rep_old").alias("mb"))
+    # a new member became the representative iff rep is not the min
+    # OLD member (rep_old null = the whole bucket arrived this batch)
+    rep_is_new = F.col("rep_old").isNull() | (
+        F.col("rep") != F.col("rep_old")
+    )
+    star_sel = [F.col("rep").alias("ma"), F.col("m").alias("mb")]
+    not_rep = F.col(f"m.{first}") != F.col(f"rep.{first}")
+    stars_all = all_s.where(
+        (F.col("n") > cap) & rep_is_new & not_rep
+    ).select(*star_sel)
+    stars_new = new_s.where(
+        (F.col("n") > cap) & ~rep_is_new & not_rep
+    ).select(*star_sel)
     return _flatten(
-        cand_small.unionByName(stars).unionByName(bridges), member_cols
+        cand_small.unionByName(stars_all).unionByName(stars_new),
+        member_cols,
     )

@@ -465,10 +465,15 @@ def link_lsh_edges_incremental(
     guard's cap the union with the previous edge table reproduces
     exactly the edge set a cold batch run would build (asserted in
     tests/test_streaming_canon.py). Buckets past MAX_LSH_BUCKET
-    star-link new members to the bucket representative plus a bridge
-    to the previous representative — same connected components as the
-    batch guard, not necessarily the same edge list (pinned in
-    tests/test_lsh_guard.py)."""
+    star-link so that every member is at some batch paired with the
+    bucket's FINAL representative (kgx/spark/lsh.py): the verified
+    union is a SUPERSET of the batch guard's verified star edges —
+    every merge the batch path makes, the stream makes too; a
+    heterogeneous oversized bucket may additionally merge via an
+    interim representative whose similarity also passes the Jaccard
+    verify (a true-similarity edge; both paths already trade exact
+    clique semantics in oversized buckets — guard-level components
+    pinned in tests/test_lsh_guard.py)."""
     return link_lsh_edges_incremental_banded(
         banded_nodes(new_nodes), banded_nodes(all_nodes), cap=cap
     )

@@ -407,7 +407,10 @@ def viterbi_batch_padded(
     rows_n = np.arange(n)
     best_val = np.empty((n, NUM_TAGS), dtype=dtype)
     best_prev = np.empty((n, NUM_TAGS), dtype=np.int8)
-    lmin = int(lens.min(initial=0))
+    # n > 0 here (early return above); min() without `initial` — the
+    # initial value PARTICIPATES in numpy reductions, so initial=0
+    # would clamp lmin to 0 and permanently disable the fast path
+    lmin = int(lens.min())
     for step in range(1, tmax):
         for vec, curs in gvecs:
             v = score if not vec.any() else score + vec[None, :]

@@ -247,3 +247,43 @@ def test_link_lsh_edges_guard_end_to_end(spark, hot_alias_cluster):
                                                   cap=cap)
         inc_pairs |= {(r["src"], r["dst"]) for r in delta.collect()}
     assert components(inc_pairs, set(node_ids)) == comps
+
+
+def test_incremental_union_is_superset_of_batch_pairs(spark):
+    """Oversized buckets: the incremental union must contain every
+    pair the batch guard emits (re-star on representative change), so
+    downstream the stream merges everything a cold batch run merges."""
+    rng = random.Random(41)
+    cap = 5
+    # descending-ish arrival so the representative changes repeatedly
+    rows = [("hot", (f"h{i:03d}",)) for i in range(18)]
+    batches = split_batches(rows, 5, rng)
+    inc = incremental_union(spark, batches, cap)
+    batch_pairs = ref_guard_pairs(rows, cap=cap)
+    assert batch_pairs <= inc
+
+
+def test_fixture_band_buckets_within_guard_cap(spark, t1_dir, t2_dir):
+    """The sequential oracle (the pinned reference) emits the FULL
+    within-bucket clique; the production stage caps buckets at
+    MAX_LSH_BUCKET and star-links. Oracle-parity therefore requires
+    every fixture band bucket to stay within the cap — make that
+    silent precondition an explicit gate so a future fixture change
+    that violates it fails HERE, not as a mysterious parity diff."""
+    from pyspark.sql import functions as F
+
+    from kgx.spark import stages
+    from kgx.spark.lsh import MAX_LSH_BUCKET
+    from kgx.spark.pipeline import run_fixture_pipeline
+
+    for d in (t1_dir, t2_dir):
+        nodes = run_fixture_pipeline(spark, d, buckets=8)["nodes"]
+        mx = (
+            stages.banded_nodes(nodes)
+            .groupBy("etype", "bk").count()
+            .agg(F.max("count")).first()[0]
+        )
+        assert mx is not None and mx <= MAX_LSH_BUCKET, (
+            f"{d}: hottest band bucket has {mx} members "
+            f"(cap {MAX_LSH_BUCKET}) — oracle clique vs guarded "
+            f"production pairs would diverge")
