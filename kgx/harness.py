@@ -1424,12 +1424,13 @@ def _lsh_pairs_cte(id_col: str) -> str:
     pairs AS (SELECT DISTINCT id_a, id_b FROM cand)"""
 
 
-def _doc_minhash_sql() -> str:
-    """DuckDB twin of dedup_minhash_lsh — the md5 token hash and the
-    modular permutations (contract.DOC_A/DOC_B, products < 2^62) make
-    signatures, banding, bucket guard and Jaccard verify bit-identical
-    across engines, so the driver's value-hash check covers the full
-    blocked pipeline (same pattern as dedup_embedding_cosine)."""
+def _doc_minhash_pairs_cte() -> str:
+    """DuckDB CTE chain for the verified MinHash near-dup pairs over
+    `documents`, ending in `vpairs(id_a, id_b, sim)` — the md5 token
+    hash and the modular permutations (contract.DOC_A/DOC_B, products
+    < 2^62) make signatures, banding, bucket guard and Jaccard verify
+    bit-identical across engines. Shared by the dedup_minhash_lsh
+    oracle and the dedup_cluster_keep recursive-closure oracle."""
     from kgx.contract import DOC_A, DOC_B, DOC_PRIME, LSH_BANDS, LSH_ROWS
 
     sig_terms = ",\n             ".join(
@@ -1443,8 +1444,7 @@ def _doc_minhash_sql() -> str:
         )
         for g in range(LSH_BANDS)
     )
-    return f"""
-    WITH base AS (SELECT doc_id,
+    return f"""base AS (SELECT doc_id,
                     string_split(lower(coalesce(text, '')), ' ') AS ws
                   FROM documents),
     sh AS (SELECT doc_id,
@@ -1463,16 +1463,24 @@ def _doc_minhash_sql() -> str:
     bands AS (SELECT doc_id,
              unnest([{band_terms}]) AS bk
               FROM sig),
-    {_lsh_pairs_cte('doc_id')}
-    SELECT p.id_a AS id_a, p.id_b AS id_b,
-           round(len(list_intersect(a.shs, b.shs)) * 1.0 /
-                 (len(a.shs) + len(b.shs)
-                  - len(list_intersect(a.shs, b.shs))), 4) AS sim
-    FROM pairs p JOIN sh a ON a.doc_id = p.id_a
-                 JOIN sh b ON b.doc_id = p.id_b
-    WHERE len(list_intersect(a.shs, b.shs)) * 1.0 /
-          (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))
-          >= {JACCARD_TAU}
+    {_lsh_pairs_cte('doc_id')},
+    vpairs AS (
+      SELECT p.id_a AS id_a, p.id_b AS id_b,
+             round(len(list_intersect(a.shs, b.shs)) * 1.0 /
+                   (len(a.shs) + len(b.shs)
+                    - len(list_intersect(a.shs, b.shs))), 4) AS sim
+      FROM pairs p JOIN sh a ON a.doc_id = p.id_a
+                   JOIN sh b ON b.doc_id = p.id_b
+      WHERE len(list_intersect(a.shs, b.shs)) * 1.0 /
+            (len(a.shs) + len(b.shs)
+             - len(list_intersect(a.shs, b.shs)))
+            >= {JACCARD_TAU})"""
+
+
+def _doc_minhash_sql() -> str:
+    return f"""
+    WITH {_doc_minhash_pairs_cte()}
+    SELECT id_a, id_b, sim FROM vpairs
     """
 
 
@@ -1550,6 +1558,71 @@ def dedup_minhash_lsh(spark, sf):
         .withColumn("sim", inter / den)
         .where(F.col("sim") >= JACCARD_TAU)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+    )
+
+
+def _dedup_cluster_sql() -> str:
+    """DuckDB twin of dedup_cluster_keep: the SAME verified MinHash
+    pair CTE (_doc_minhash_pairs_cte), closed transitively with a
+    recursive CTE (UNION recursion terminates on the fixpoint), then
+    per-component min-id labels — a CROSS-ENGINE value check of the
+    connected-components resolution itself, which the iterative Spark
+    ops usually can't get from a single SQL statement."""
+    return f"""
+    WITH RECURSIVE {_doc_minhash_pairs_cte()},
+    edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+              UNION ALL
+              SELECT id_b AS a, id_a AS b FROM vpairs),
+    reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    ),
+    labels AS (SELECT src AS doc_id,
+                      least(src, min(dst)) AS cluster_id
+               FROM reach GROUP BY src)
+    SELECT cluster_id AS keep_id,
+           count(*) AS n_members,
+           max(doc_id) AS max_member
+    FROM labels GROUP BY cluster_id
+    """
+
+
+@op("dedup_cluster_keep", _dedup_cluster_sql())
+def dedup_cluster_keep(spark, sf):
+    """Near-dup CLUSTER resolution — the step after pair generation
+    that a real dedup pipeline actually ships: verified MinHash pairs
+    (dedup_minhash_lsh, oracle-checked) are closed into connected
+    components by iterative min-label propagation
+    (stages.connected_components — pointer doubling, O(log diameter)
+    rounds), and each component keeps its min doc_id. Returns one row
+    per near-dup cluster: (keep_id, n_members, max_member); every
+    other member is a drop candidate.
+
+    The DuckDB twin closes the same pair set with a recursive CTE, so
+    the driver value-hash gate covers the component resolution across
+    engines — the only iterative-graph op in the suite with a
+    bit-exact SQL oracle. At 100 TB the pair graph is sparse
+    (bucket-capped, verify-filtered); CC input is pairs-sized, not
+    corpus-sized, and singleton docs never enter the join."""
+    from kgx.spark.stages import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionByName(edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    labels = connected_components(nodes, edges)
+    return (
+        labels.groupBy(F.col("label").alias("keep_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max("node_id").alias("max_member"),
+        )
     )
 
 
@@ -2771,8 +2844,8 @@ _CHECK_FIRST = [
     # dedup/ANN op and the pipeline link/edge/vertex tables, the IVF
     # assignment got a large-k path — then the ops whose latest green
     # driver row is round 2 (union r1..r4 stays fully covered).
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
-    "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_cluster_keep", "dedup_simhash",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_ngram_jaccard",
     "ann_lsh_bucket", "ann_cosine_topk", "ann_ivf_topk",
     "pipe_mentions", "pipe_triples_raw", "pipe_links", "pipe_edges",
     "pipe_vertices",
@@ -2794,8 +2867,8 @@ _CHECK_FIRST = [
     "fn_conditional", "fn_map",
     # streaming ops re-recorded at the new default-compaction config
     "stream_windowed_counts", "stream_incremental_canon",
-    # rows-only representatives with fresh evidence artifacts
-    "eval_scaling", "udf_iter_tagger",
+    # rows-only representative with a fresh evidence artifact
+    "eval_scaling",
 ]
 
 

@@ -201,3 +201,37 @@ def test_fingerprint_matches_scalar_reference(spark):
         for ch in r["text"] or "":
             h = (h * FP_BASE + ord(ch)) % DOC_PRIME
         assert got[r["doc_id"]] == h, r["doc_id"]
+
+
+def test_cluster_keep_resolves_planted_near_dup_groups(spark):
+    """dedup_cluster_keep must resolve the verified pair graph into
+    min-id-keyed components: every pair's endpoints share a cluster,
+    each cluster keeps its min doc_id, and members = nodes of its
+    component (cross-checked with a Python union-find over the same
+    oracle-checked pair set)."""
+    from kgx.harness import dedup_cluster_keep, dedup_minhash_lsh
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [(r["id_a"], r["id_b"])
+             for r in dedup_minhash_lsh(spark, sf).collect()]
+    assert pairs, "fixture assumption: near-dup pairs exist"
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for n in list(parent):
+        comp.setdefault(find(n), set()).add(n)
+    want = {(min(ms), len(ms), max(ms)) for ms in comp.values()}
+    got = {(r["keep_id"], r["n_members"], r["max_member"])
+           for r in dedup_cluster_keep(spark, sf).collect()}
+    assert got == want
