@@ -328,11 +328,21 @@ class Runner:
         fp = fingerprint_paths(
             self.io.path("nodes"), self.io.path("lsh_edges")
         ) + f"|b{self.buckets}"
+        # the CC loop runs its per-iteration actions EAGERLY here
+        # (localCheckpoint per round), before _stage starts its clock
+        # — record it as its own event so per-stage walls account for
+        # the full run (scaling_bench sums these)
+        t_cc = time.time()
         labels = stages.connected_components(
             self.read("nodes"), self.read("lsh_edges"),
             state_io=self.io if self.cc_checkpoint_every else None,
             state_fp=fp,
             checkpoint_every=self.cc_checkpoint_every)
+        self.events.append(
+            {"stage": "canon", "table": "cc_loop", "rows": None,
+             "partitions": None, "content_hash": None,
+             "wall_s": round(time.time() - t_cc, 3), "skipped": False}
+        )
         entity_map, cc_vertices = stages.canonicalize(self.read("nodes"),
                                                       labels)
         self._stage("canon",
