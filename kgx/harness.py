@@ -2651,14 +2651,15 @@ def stream_incremental_canon(spark, sf):
     return spark.createDataFrame(rows, out.schema)
 
 
-@op("mm_frame_sample", None)
-def mm_frame_sample(spark, sf):
-    """Multimodal video plumbing: binary payload + typed metadata
-    struct -> uniform frame sampling via mapInPandas, one output row
-    per sampled frame (doc_id, frame_idx, frame_bytes, width, height).
-    The DECODER IS A STUB (no ffmpeg/PIL in this container): frames are
-    deterministic byte slices + blake2b-derived dims, clearly marked.
-    The Spark side — binary columns, metadata struct, Arrow batching,
+def mm_sample_frames(spark, sf):
+    """Binary per-frame explode behind mm_frame_sample: binary payload
+    + typed metadata struct -> uniform frame sampling via mapInPandas,
+    one output row per sampled frame (doc_id, frame_idx, frame_bytes,
+    width, height). The DECODER IS A STUB (no ffmpeg/PIL in this
+    container): frames are deterministic chunks of the payload (split
+    on character boundaries of the utf-8 text so the byte slices stay
+    valid utf-8) with md5-derived dims, clearly marked. The Spark side
+    — binary columns in and out, metadata struct, Arrow batching,
     per-frame explode shape, partitioning — is real and is what a real
     decoder would plug into."""
     import hashlib
@@ -2695,12 +2696,17 @@ def mm_frame_sample(spark, sf):
                 if not raw:
                     continue
                 # STUB decode: slice the payload into n_frames chunks
-                step = max(1, len(raw) // n_frames)
+                # on CHARACTER boundaries (step in chars of the decoded
+                # text) so every frame is valid utf-8 and the DuckDB
+                # twin can reproduce the chunks with plain substring
+                text = raw.decode("utf-8")
+                step = max(1, len(text) // n_frames)
                 for i in range(n_frames):
-                    chunk = raw[i * step : (i + 1) * step]
-                    if not chunk:
+                    piece = text[i * step : (i + 1) * step]
+                    if not piece:
                         break
-                    h = hashlib.blake2b(chunk, digest_size=4).digest()
+                    chunk = piece.encode("utf-8")
+                    h = hashlib.md5(chunk).digest()
                     rows.append(
                         (int(doc_id), i, chunk,
                          64 + h[0] % 192, 64 + h[1] % 192)
@@ -2711,6 +2717,47 @@ def mm_frame_sample(spark, sf):
             )
 
     return d.select("doc_id", "payload").mapInPandas(sample, schema)
+
+
+@op(
+    "mm_frame_sample",
+    "WITH f AS (SELECT doc_id, text,"
+    "        greatest(1, length(text) // 4) AS step,"
+    "        unnest([0, 1, 2, 3]) AS frame_idx"
+    "      FROM documents"
+    "      WHERE text IS NOT NULL AND length(text) > 0),"
+    " c AS (SELECT doc_id, frame_idx,"
+    "        substring(text, frame_idx * step + 1, step) AS chunk"
+    "      FROM f)"
+    " SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,"
+    "  md5(chunk) AS frame_md5,"
+    "  CAST(octet_length(encode(chunk)) AS INT) AS frame_len,"
+    "  CAST(64 + CAST('0x' || substr(md5(chunk), 1, 2) AS INT) % 192"
+    "       AS INT) AS width,"
+    "  CAST(64 + CAST('0x' || substr(md5(chunk), 3, 2) AS INT) % 192"
+    "       AS INT) AS height"
+    " FROM c WHERE chunk <> ''",
+)
+def mm_frame_sample(spark, sf):
+    """Value-checkable projection of mm_sample_frames: the binary
+    frames flow Arrow-batched through the mapInPandas explode, then
+    the JVM computes md5 + byte length of each frame (F.md5/F.length
+    on the binary column — a lossless witness of the frame bytes), so
+    the DuckDB twin can verify the full chunking + dims end-to-end
+    with plain character substrings (md5(VARCHAR) hashes the utf-8
+    bytes, which equal the frame bytes by the character-boundary
+    chunking contract). The binary explode itself is pytest-gated
+    (tests/test_multimodal.py reassembles the payload prefix from
+    frame_bytes)."""
+    frames = mm_sample_frames(spark, sf)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame_bytes").alias("frame_md5"),
+        F.length("frame_bytes").cast("int").alias("frame_len"),
+        "width",
+        "height",
+    )
 
 
 @op(
@@ -2860,15 +2907,18 @@ _CHECK_FIRST = [
     "agg_hash_count", "agg_two_phase_salted",
     "win_row_number", "win_session_window",
     "sort_limit_topk", "set_union_byname",
-    # round-3 oracles kept fresh at the round-4 HEAD
+    # round-3 oracles kept fresh at the round-4 HEAD; mm_frame_sample's
+    # oracle is NEW in round 4 (supersedes its rows-only record)
+    "mm_frame_sample",
     "scan_text_bio", "sink_parquet_partitioned", "scan_iceberg",
     "sink_manifest", "mm_decode_stub", "sort_within_partitions",
     "join_skew_aqe", "graph_triangle_free_check", "text_fingerprint",
     "fn_conditional", "fn_map",
     # streaming ops re-recorded at the new default-compaction config
+    # (window is exactly 50: eval_scaling rotates out — rows-only with
+    # r1-r3 driver rows; its evidence artifact BENCH/scaling.json is
+    # committed and fresh regardless)
     "stream_windowed_counts", "stream_incremental_canon",
-    # rows-only representative with a fresh evidence artifact
-    "eval_scaling",
 ]
 
 

@@ -35,10 +35,12 @@ def test_mm_frame_sample_reassembles_payload_prefix(spark):
     be index-ordered, non-overlapping, and concatenate to a prefix of
     the original payload; dims must match the stub's md5 derivation.
     This is the per-frame explode contract a real video decoder would
-    inherit (one output row per sampled frame, bounded frame count)."""
-    from kgx.harness import mm_frame_sample
+    inherit (one output row per sampled frame, bounded frame count).
+    Exercises the BINARY explode (mm_sample_frames) underneath the
+    oracle-checked scalar projection (mm_frame_sample)."""
+    from kgx.harness import mm_sample_frames
 
-    frames = mm_frame_sample(spark, SF).collect()
+    frames = mm_sample_frames(spark, SF).collect()
     docs = {
         r["doc_id"]: r["text"].encode("utf-8")
         for r in spark.read.parquet(f"{SF}/documents.parquet")
@@ -55,11 +57,15 @@ def test_mm_frame_sample_reassembles_payload_prefix(spark):
         assert 1 <= len(rows) <= 4
         joined = b"".join(bytes(r["frame_bytes"]) for r in rows)
         assert raw.startswith(joined) and joined
-        step = max(1, len(raw) // 4)
+        text = raw.decode("utf-8")
+        step = max(1, len(text) // 4)
         for r in rows:
             chunk = bytes(r["frame_bytes"])
-            assert chunk == raw[r["frame_idx"] * step:
-                                (r["frame_idx"] + 1) * step]
-            h = hashlib.blake2b(chunk, digest_size=4).digest()
+            # chunk boundaries are CHARACTER positions (so every frame
+            # is valid utf-8 and the DuckDB twin's substring matches)
+            assert chunk == text[r["frame_idx"] * step:
+                                 (r["frame_idx"] + 1) * step].encode(
+                                     "utf-8")
+            h = hashlib.md5(chunk).digest()
             assert r["width"] == 64 + h[0] % 192
             assert r["height"] == 64 + h[1] % 192
