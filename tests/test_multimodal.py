@@ -69,3 +69,70 @@ def test_mm_frame_sample_reassembles_payload_prefix(spark):
             h = hashlib.md5(chunk).digest()
             assert r["width"] == 64 + h[0] % 192
             assert r["height"] == 64 + h[1] % 192
+
+
+def test_frame_chunk_oracle_equivalence_unicode():
+    """Property: the mm_frame_sample oracle's DuckDB character
+    substring chunking is bit-identical to the stub's Python chunking
+    (md5, byte length, dims) for ARBITRARY unicode text — the exact
+    cross-engine contract the driver's value-hash check relies on.
+    Runs engine-to-engine (DuckDB vs pure Python), no Spark session."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sql = """
+    WITH f AS (SELECT doc_id, text,
+            greatest(1, length(text) // 4) AS step,
+            unnest([0, 1, 2, 3]) AS frame_idx
+          FROM documents
+          WHERE text IS NOT NULL AND length(text) > 0),
+     c AS (SELECT doc_id, frame_idx,
+            substring(text, frame_idx * step + 1, step) AS chunk
+          FROM f)
+    SELECT doc_id, frame_idx, md5(chunk),
+           octet_length(encode(chunk)),
+           64 + CAST('0x' || substr(md5(chunk), 1, 2) AS INT) % 192,
+           64 + CAST('0x' || substr(md5(chunk), 3, 2) AS INT) % 192
+    FROM c WHERE chunk <> '' ORDER BY doc_id, frame_idx
+    """
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.text(max_size=24),  # full unicode incl. astral plane
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(texts):
+        # DuckDB rejects unpaired surrogates; Python str allows them
+        # but they can't be utf-8 encoded, so they can't occur in a
+        # parquet/Arrow text column either — filter like Arrow would
+        texts = [
+            t for t in texts
+            if not any("\ud800" <= ch <= "\udfff" for ch in t)
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        for i, t in enumerate(texts):
+            con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+        duck = con.execute(sql).fetchall()
+        py = []
+        for doc_id, text in enumerate(texts):
+            if not text:
+                continue
+            step = max(1, len(text) // 4)
+            for i in range(4):
+                piece = text[i * step : (i + 1) * step]
+                if not piece:
+                    break
+                chunk = piece.encode("utf-8")
+                h = hashlib.md5(chunk)
+                d = h.digest()
+                py.append((doc_id, i, h.hexdigest(), len(chunk),
+                           64 + d[0] % 192, 64 + d[1] % 192))
+        assert duck == py
+
+    check()
