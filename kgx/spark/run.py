@@ -140,7 +140,8 @@ class Runner:
     def __init__(self, spark: SparkSession, input_dir: str, out: str,
                  run_id: str, buckets: int = 32,
                  artifact: str = "tagger_v1.npz",
-                 cc_checkpoint_every: int = 5):
+                 cc_checkpoint_every: int = 5,
+                 tag_distinct: bool = False):
         self.spark = spark
         self.input_dir = input_dir
         self.io = TableIO(out)
@@ -150,6 +151,9 @@ class Runner:
         # reliable (warehouse-backed) CC state commits every k
         # iterations; 0 disables (sandbox-fast, executor-local only)
         self.cc_checkpoint_every = cc_checkpoint_every
+        # content-addressed tagging: tag distinct texts, join back
+        # (bit-identical output; wins when the corpus repeats turns)
+        self.tag_distinct = tag_distinct
         self._tagger = None
         self.events: list[dict] = []
         self._metrics_rows: list[dict] = []
@@ -294,8 +298,9 @@ class Runner:
 
     def stage_tag(self):
         turns = self.read("turns")
-        tagged = stages.tag_extract(turns, self.tagger(),
-                                    self.patterns_rows())
+        tag_fn = (stages.tag_extract_distinct if self.tag_distinct
+                  else stages.tag_extract)
+        tagged = tag_fn(turns, self.tagger(), self.patterns_rows())
         self._stage("tag", {"tagged": tagged},
                     [self.io.path("turns"), self.artifact_path,
                      self.in_path("patterns")],
@@ -387,6 +392,11 @@ def main(argv=None) -> dict:
     ap.add_argument("--stop-after", default=None,
                     help="simulate failure after this stage (resume test)")
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--tag-distinct", action="store_true",
+                    help="content-addressed tagging: run the tagger "
+                    "once per DISTINCT text and join spans/rel back "
+                    "(bit-identical output; use when the corpus "
+                    "repeats turns heavily)")
     ap.add_argument("--max-partition-mb", type=int, default=16,
                     help="spark.sql.files.maxPartitionBytes in MB; 16MB "
                     "keeps scan tasks fine-grained for the UDF-heavy tag "
@@ -402,7 +412,8 @@ def main(argv=None) -> dict:
     t0 = time.time()
     runner = Runner(spark, args.input, args.out, args.run_id,
                     buckets=args.buckets, artifact=args.artifact,
-                    cc_checkpoint_every=args.cc_checkpoint_every)
+                    cc_checkpoint_every=args.cc_checkpoint_every,
+                    tag_distinct=args.tag_distinct)
     events = runner.run(upto=args.stop_after, only=only)
     report = {
         "run_id": args.run_id,

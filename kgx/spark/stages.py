@@ -165,6 +165,28 @@ def tag_extract(turns: DataFrame, tag_offsets_udf,
     ).drop("text")
 
 
+def tag_extract_distinct(turns: DataFrame, tag_offsets_udf,
+                         patterns_rows: list[dict]) -> DataFrame:
+    """Content-addressed twin of tag_extract: run the tagger ONCE per
+    DISTINCT text and join the (spans, rel) results back to the turns.
+    spans/rel are pure functions of text, so the output is
+    bit-identical to tag_extract (asserted in tests) — but on real
+    transcript corpora, where short turns ("ok", "thanks", canned tool
+    acks) repeat millions of times, the Python tagger work drops from
+    O(turns) to O(distinct texts). Cost: one extra shuffle of the text
+    column (distinct) plus the join back; the join's probe side is
+    skewed exactly on the hot duplicated texts, which AQE's skew split
+    handles (same mechanism as join_skew_aqe), and the build side is
+    unique-per-key so there is no pair explosion. Off by default —
+    with no duplication it's pure overhead — enabled per-run via
+    Runner(tag_distinct=True) / `--tag-distinct`."""
+    uniq = tag_spans_jvm(
+        turns.select("text").distinct(), tag_offsets_udf
+    ).withColumn("rel", rel_candidates_col(patterns_rows))
+    other = [c for c in turns.columns if c != "text"]
+    return turns.join(uniq, "text").select(*other, "spans", "rel")
+
+
 def triples_from_tagged(tagged: DataFrame) -> DataFrame:
     """triples_raw from the fused checkpoint: explode precomputed rel
     + uses_tool triples (speaker = first PER mention per conv)."""

@@ -208,3 +208,36 @@ def test_fused_tag_extract_equals_classic(spark, t1_dir):
     m2 = stages.mentions_of(stages.tag(turns, make_tagger_udf(spark, art)))
     assert m.exceptAll(m2).count() == 0 and m2.exceptAll(m).count() == 0
     del F
+
+
+def test_tag_extract_distinct_equals_default(spark, t1_dir):
+    """Content-addressed tagging (tag distinct texts, join back) must
+    be row-for-row identical to the default per-turn path — spans/rel
+    are pure functions of text — including exact column order (the
+    checkpoint content signature hashes all columns), and it must call
+    the tagger on each distinct text once, which the t1 fixture
+    exercises (duplicate turn texts exist)."""
+    from pyspark.sql import functions as F
+
+    from kgx.spark import stages
+    from kgx.spark.udfs import make_tagger_offsets_udf
+    from kgx.tagcore import TaggerArtifact
+
+    art = TaggerArtifact.load(f"{t1_dir}/tagger_v1.npz")
+    patterns = [r.asDict() for r in
+                spark.read.parquet(f"{t1_dir}/patterns.parquet").collect()]
+    turns = stages.ingest_bucketed(
+        spark, f"{t1_dir}/transcripts.parquet", buckets=8)
+    n_turns = turns.count()
+    n_distinct = turns.select("text").distinct().count()
+    assert n_distinct < n_turns  # the fixture really has duplicates
+
+    base = stages.tag_extract(
+        turns, make_tagger_offsets_udf(spark, art), patterns)
+    ca = stages.tag_extract_distinct(
+        turns, make_tagger_offsets_udf(spark, art), patterns)
+    assert ca.columns == base.columns
+    cols = [c for c in base.columns if c not in ("spans", "rel")] + [
+        F.to_json("spans").alias("sj"), F.to_json("rel").alias("rj")]
+    a, b = base.select(*cols), ca.select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
