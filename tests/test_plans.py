@@ -195,3 +195,35 @@ def test_bucket_partition_pruning(spark, t1_dir, tmp_path):
     full = r.read("turns").count()
     part = df.count()
     assert 0 < part < full
+
+
+def test_tag_distinct_plan_tags_above_the_distinct(spark, t1_dir):
+    """Content-addressed tagging must evaluate the tagger UDF ABOVE
+    the distinct aggregate (once per unique text), never over the raw
+    turns scan, and join back without a cartesian product. The default
+    path's plan has no aggregate below the UDF — the two shapes are
+    the contract."""
+    from kgx.spark import stages
+    from kgx.spark.udfs import make_tagger_offsets_udf
+    from kgx.tagcore import TaggerArtifact
+
+    art = TaggerArtifact.load(f"{t1_dir}/tagger_v1.npz")
+    patterns = [r.asDict() for r in spark.read.parquet(
+        f"{t1_dir}/patterns.parquet").collect()]
+    turns = stages.ingest_bucketed(
+        spark, f"{t1_dir}/transcripts.parquet", buckets=8)
+    udf = make_tagger_offsets_udf(spark, art)
+
+    plan = plan_of(stages.tag_extract_distinct(turns, udf, patterns))
+    tree = plan.split("\n\n")[0]  # physical tree, not the detail dump
+    assert "CartesianProduct" not in plan
+    arrow = tree.index("ArrowEvalPython")
+    agg = tree.index("HashAggregate")
+    # tree prints top-down: the UDF node appears before (above) the
+    # distinct aggregate it consumes
+    assert arrow < agg, tree
+    assert "Exchange" in tree  # the distinct shuffle exists
+
+    default_plan = plan_of(stages.tag_extract(turns, udf, patterns))
+    default_tree = default_plan.split("\n\n")[0]
+    assert "HashAggregate" not in default_tree, default_tree
