@@ -152,7 +152,8 @@ class Runner:
         # iterations; 0 disables (sandbox-fast, executor-local only)
         self.cc_checkpoint_every = cc_checkpoint_every
         # content-addressed tagging: tag distinct texts, join back
-        # (bit-identical output; wins when the corpus repeats turns)
+        # (value-identical output/content hashes; wins when the corpus
+        # repeats turns)
         self.tag_distinct = tag_distinct
         self._tagger = None
         self.events: list[dict] = []
@@ -298,9 +299,13 @@ class Runner:
 
     def stage_tag(self):
         turns = self.read("turns")
-        tag_fn = (stages.tag_extract_distinct if self.tag_distinct
-                  else stages.tag_extract)
-        tagged = tag_fn(turns, self.tagger(), self.patterns_rows())
+        if self.tag_distinct:
+            tagged = stages.tag_extract_distinct(
+                turns, self.tagger(), self.patterns_rows(),
+                buckets=self.buckets)
+        else:
+            tagged = stages.tag_extract(turns, self.tagger(),
+                                        self.patterns_rows())
         self._stage("tag", {"tagged": tagged},
                     [self.io.path("turns"), self.artifact_path,
                      self.in_path("patterns")],
@@ -395,8 +400,9 @@ def main(argv=None) -> dict:
     ap.add_argument("--tag-distinct", action="store_true",
                     help="content-addressed tagging: run the tagger "
                     "once per DISTINCT text and join spans/rel back "
-                    "(bit-identical output; use when the corpus "
-                    "repeats turns heavily)")
+                    "(value-identical output — same content hashes, "
+                    "rows reordered; use when the corpus repeats "
+                    "turns heavily)")
     ap.add_argument("--max-partition-mb", type=int, default=16,
                     help="spark.sql.files.maxPartitionBytes in MB; 16MB "
                     "keeps scan tasks fine-grained for the UDF-heavy tag "

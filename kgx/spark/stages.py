@@ -166,11 +166,14 @@ def tag_extract(turns: DataFrame, tag_offsets_udf,
 
 
 def tag_extract_distinct(turns: DataFrame, tag_offsets_udf,
-                         patterns_rows: list[dict]) -> DataFrame:
+                         patterns_rows: list[dict],
+                         buckets: int | None = None) -> DataFrame:
     """Content-addressed twin of tag_extract: run the tagger ONCE per
     DISTINCT text and join the (spans, rel) results back to the turns.
     spans/rel are pure functions of text, so the output is
-    bit-identical to tag_extract (asserted in tests) — but on real
+    value-identical to tag_extract (same rows, same checkpoint
+    content hash — asserted in tests; the join reorders rows, so
+    warehouse file bytes may differ) — and on real
     transcript corpora, where short turns ("ok", "thanks", canned tool
     acks) repeat millions of times, the Python tagger work drops from
     O(turns) to O(distinct texts). Cost: one extra shuffle of the text
@@ -182,7 +185,7 @@ def tag_extract_distinct(turns: DataFrame, tag_offsets_udf,
     Runner(tag_distinct=True) / `--tag-distinct`.
 
     Measured on the x20-duplicated 4.37M-turn fixture at local[32]:
-    tagged-stage wall 11.0 s -> 8.0 s, identical content hash. The
+    tagged-stage wall 11.0 s -> 8.0 s, same content hash. The
     bounded gain at sandbox scale is expected — the stage is dominated
     by the checkpoint write, and this repo's lexicon+CRF tagger costs
     only ~3 s of the stage at 32 cores. The flag's real leverage is
@@ -194,7 +197,15 @@ def tag_extract_distinct(turns: DataFrame, tag_offsets_udf,
         turns.select("text").distinct(), tag_offsets_udf
     ).withColumn("rel", rel_candidates_col(patterns_rows))
     other = [c for c in turns.columns if c != "text"]
-    return turns.join(uniq, "text").select(*other, "spans", "rel")
+    out = turns.join(uniq, "text").select(*other, "spans", "rel")
+    if buckets and "bucket" in turns.columns:
+        # the join leaves the result hash-partitioned on text; restore
+        # bucket alignment before the partitionBy('bucket') checkpoint
+        # write, or every write task holds rows from ~all buckets and
+        # the output explodes into tasks x buckets tiny files (the
+        # anti-pattern ingest_bucketed exists to prevent)
+        out = out.repartition(buckets, "bucket")
+    return out
 
 
 def triples_from_tagged(tagged: DataFrame) -> DataFrame:

@@ -81,21 +81,14 @@ def test_frame_chunk_oracle_equivalence_unicode():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    sql = """
-    WITH f AS (SELECT doc_id, text,
-            greatest(1, length(text) // 4) AS step,
-            unnest([0, 1, 2, 3]) AS frame_idx
-          FROM documents
-          WHERE text IS NOT NULL AND length(text) > 0),
-     c AS (SELECT doc_id, frame_idx,
-            substring(text, frame_idx * step + 1, step) AS chunk
-          FROM f)
-    SELECT doc_id, frame_idx, md5(chunk),
-           octet_length(encode(chunk)),
-           64 + CAST('0x' || substr(md5(chunk), 1, 2) AS INT) % 192,
-           64 + CAST('0x' || substr(md5(chunk), 3, 2) AS INT) % 192
-    FROM c WHERE chunk <> '' ORDER BY doc_id, frame_idx
-    """
+    from kgx.harness import OPS
+
+    # the REGISTERED oracle SQL, not a copy — if the op's oracle ever
+    # changes, this property test must re-prove the new contract
+    oracle_sql = OPS["mm_frame_sample"][1]
+    assert oracle_sql, "mm_frame_sample lost its oracle"
+    sql = (f"SELECT * FROM ({oracle_sql}) "
+           "ORDER BY doc_id, frame_idx")
 
     @settings(max_examples=50, deadline=None)
     @given(

@@ -227,3 +227,12 @@ def test_tag_distinct_plan_tags_above_the_distinct(spark, t1_dir):
     default_plan = plan_of(stages.tag_extract(turns, udf, patterns))
     default_tree = default_plan.split("\n\n")[0]
     assert "HashAggregate" not in default_tree, default_tree
+
+    # with buckets passed (what the Runner does), the result must be
+    # re-aligned on the bucket column before the partitionBy('bucket')
+    # checkpoint write — otherwise the text-hash join partitioning
+    # explodes the write into tasks x buckets tiny files
+    aligned = plan_of(stages.tag_extract_distinct(
+        turns, udf, patterns, buckets=8))
+    assert re.search(r"hashpartitioning\(bucket[^)]*, 8\)", aligned), \
+        aligned
