@@ -128,3 +128,28 @@ def test_snapshot_versioning_time_travel(spark, t1_dir, tmp_path):
     assert not os.path.exists(io.path("t", version=1))  # expired
     # history survives expiry
     assert len(io.manifest("t")["snapshots"]) == 3
+
+
+def test_resume_across_tag_distinct_modes(spark, t1_dir, warehouses):
+    """Flipping --tag-distinct on an existing warehouse must NOT
+    invalidate checkpoints: the two tag paths are value-identical, so
+    a run killed in default mode resumes cleanly in distinct mode
+    (tag stage skips — its inputs fingerprint is mode-independent by
+    design) and the final tables equal a clean single-shot run's."""
+    wh = str(warehouses / "flip")
+    first = Runner(spark, t1_dir, wh, "f1", buckets=8)
+    first.run(upto="tag")
+    assert {e["table"] for e in first.events} >= {"turns", "tagged"}
+
+    resumed = Runner(spark, t1_dir, wh, "f2", buckets=8,
+                     tag_distinct=True)
+    resumed.run()
+    skipped = {e["table"] for e in resumed.events if e.get("skipped")}
+    assert "tagged" in skipped  # the checkpoint survived the flip
+
+    clean = Runner(spark, t1_dir, str(warehouses / "flip_clean"),
+                   "fc", buckets=8, tag_distinct=True)
+    clean.run()
+    for table in ("tagged", "edges", "vertices"):
+        assert (clean.io.manifest(table)["content_hash"]
+                == resumed.io.manifest(table)["content_hash"]), table
