@@ -184,8 +184,9 @@ def tag_extract_distinct(turns: DataFrame, tag_offsets_udf,
     with no duplication it's pure overhead — enabled per-run via
     Runner(tag_distinct=True) / `--tag-distinct`.
 
-    Measured on the x20-duplicated 4.37M-turn fixture at local[32]:
-    tagged-stage wall 11.0 s -> 8.0 s, same content hash. The
+    Measured on the x20-duplicated 4.37M-turn fixture at local[32],
+    WITH the bucket re-alignment shuffle included: tagged-stage wall
+    10.2 s -> 8.4 s, same content hash. The
     bounded gain at sandbox scale is expected — the stage is dominated
     by the checkpoint write, and this repo's lexicon+CRF tagger costs
     only ~3 s of the stage at 32 cores. The flag's real leverage is
