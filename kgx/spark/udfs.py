@@ -28,7 +28,7 @@ from kgx.tagcore import (
     LexiconMatcher,
     TaggerArtifact,
     decode_bio,
-    decode_bio_batch,
+    decode_bio_batch_arrays,
     make_batch_emitter,
     make_emitter,
     viterbi_batch_padded,
@@ -138,7 +138,9 @@ def make_tagger_offsets_udf(spark: SparkSession, artifact: TaggerArtifact):
                 idx = order[lo : lo + VITERBI_CHUNK]
                 em, lens = emit_batch([vals[i] for i in idx])
                 paths = viterbi_batch_padded(em, lens, a)
-                bs, es, cs = decode_bio_batch(paths, lens)
+                # int32 arrays, not lists: pandas/Arrow converts them
+                # ~1.6x faster and they match the array<int> schema
+                bs, es, cs = decode_bio_batch_arrays(paths, lens)
                 for k, i in enumerate(idx):
                     begins[i] = bs[k]
                     ends[i] = es[k]
