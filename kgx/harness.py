@@ -1561,15 +1561,19 @@ def dedup_minhash_lsh(spark, sf):
     )
 
 
-def _dedup_cluster_sql() -> str:
-    """DuckDB twin of dedup_cluster_keep: the SAME verified MinHash
-    pair CTE (_doc_minhash_pairs_cte), closed transitively with a
-    recursive CTE (UNION recursion terminates on the fixpoint), then
-    per-component min-id labels — a CROSS-ENGINE value check of the
-    connected-components resolution itself, which the iterative Spark
-    ops usually can't get from a single SQL statement."""
+def _cluster_keep_sql(pairs_cte: str) -> str:
+    """DuckDB twin of the shared `_cluster_keep` resolution, generic
+    over the pair family: takes any CTE chain ending in
+    `vpairs(id_a, id_b, ...)` (verified near-dup pairs), closes it
+    transitively with a recursive CTE (UNION recursion terminates on
+    the fixpoint), then resolves per-component min-id labels — a
+    CROSS-ENGINE value check of the connected-components resolution
+    itself, which the iterative Spark ops usually can't get from a
+    single SQL statement. Instantiated for the MinHash, SimHash and
+    embedding-cosine pair families (dedup_cluster_keep,
+    dedup_simhash_cluster_keep, dedup_embedding_cluster_keep)."""
     return f"""
-    WITH RECURSIVE {_doc_minhash_pairs_cte()},
+    WITH RECURSIVE {pairs_cte},
     edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
               UNION ALL
               SELECT id_b AS a, id_a AS b FROM vpairs),
@@ -1588,26 +1592,24 @@ def _dedup_cluster_sql() -> str:
     """
 
 
-@op("dedup_cluster_keep", _dedup_cluster_sql())
-def dedup_cluster_keep(spark, sf):
-    """Near-dup CLUSTER resolution — the step after pair generation
-    that a real dedup pipeline actually ships: verified MinHash pairs
-    (dedup_minhash_lsh, oracle-checked) are closed into connected
-    components by iterative min-label propagation
+def _cluster_keep(pairs: DataFrame) -> DataFrame:
+    """Shared near-dup CLUSTER resolution — the step after pair
+    generation that a real dedup pipeline actually ships, generic over
+    the pair family: verified pairs (id_a, id_b) are closed into
+    connected components by iterative min-label propagation
     (stages.connected_components — pointer doubling, O(log diameter)
-    rounds), and each component keeps its min doc_id. Returns one row
-    per near-dup cluster: (keep_id, n_members, max_member); every
-    other member is a drop candidate.
+    rounds), and each component keeps its min id. Returns one row per
+    near-dup cluster: (keep_id, n_members, max_member); every other
+    member is a drop candidate.
 
-    The DuckDB twin closes the same pair set with a recursive CTE, so
-    the driver value-hash gate covers the component resolution across
-    engines — the only iterative-graph op in the suite with a
-    bit-exact SQL oracle. At 100 TB the pair graph is sparse
-    (bucket-capped, verify-filtered); CC input is pairs-sized, not
-    corpus-sized, and singleton docs never enter the join."""
+    At 100 TB the pair graph is sparse (bucket-capped,
+    verify-filtered); CC input is pairs-sized, not corpus-sized, and
+    singleton docs never enter the join. The DuckDB twin
+    (_cluster_keep_sql) closes the same pair set with a recursive CTE,
+    so the driver value-hash gate covers the component resolution
+    across engines for ALL THREE instantiating ops."""
     from kgx.spark.stages import connected_components
 
-    pairs = dedup_minhash_lsh(spark, sf).select("id_a", "id_b")
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).localCheckpoint()
@@ -1626,10 +1628,23 @@ def dedup_cluster_keep(spark, sf):
     )
 
 
-def _doc_simhash_sql() -> str:
-    """DuckDB twin of dedup_simhash: same md5-derived bit patterns,
-    same two-halves signature (each < 2^32 — a set bit 63 would
-    overflow DuckDB's BIGINT), same banding and hamming verify."""
+@op("dedup_cluster_keep", _cluster_keep_sql(_doc_minhash_pairs_cte()))
+def dedup_cluster_keep(spark, sf):
+    """Cluster resolution over the verified MinHash pair family
+    (dedup_minhash_lsh, oracle-checked): shared `_cluster_keep` body,
+    recursive-CTE cross-engine oracle via _cluster_keep_sql."""
+    return _cluster_keep(dedup_minhash_lsh(spark, sf)
+                         .select("id_a", "id_b"))
+
+
+def _doc_simhash_pairs_cte() -> str:
+    """DuckDB CTE chain for the verified SimHash near-dup pairs over
+    `documents`, ending in `vpairs(id_a, id_b, hamming)`: same
+    md5-derived bit patterns as the Spark op, same two-halves
+    signature (each < 2^32 — a set bit 63 would overflow DuckDB's
+    BIGINT), same banding and hamming verify. Shared by the
+    dedup_simhash oracle and the dedup_simhash_cluster_keep
+    recursive-closure oracle."""
     acc_terms = ",\n             ".join(
         f"SUM(CASE WHEN (({h} >> {b}) & 1) = 1 THEN 1 ELSE -1 END)"
         f" AS {h}{b}"
@@ -1648,8 +1663,7 @@ def _doc_simhash_sql() -> str:
         " & 255)"
         for g in range(8)
     )
-    return f"""
-    WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+    return f"""toks AS (SELECT DISTINCT doc_id, tok FROM (
              SELECT doc_id,
                     unnest(string_split(coalesce(text, ''), ' ')) AS tok
              FROM documents)),
@@ -1665,15 +1679,22 @@ def _doc_simhash_sql() -> str:
               CAST({sig_expr('hi')} AS BIGINT) AS sh_hi
             FROM acc),
     bands AS (SELECT doc_id, unnest([{band_terms}]) AS bk FROM sig),
-    {_lsh_pairs_cte('doc_id')}
-    SELECT p.id_a AS id_a, p.id_b AS id_b,
-           CAST(bit_count(xor(a.sh_lo, b.sh_lo))
-                + bit_count(xor(a.sh_hi, b.sh_hi)) AS INTEGER)
-             AS hamming
-    FROM pairs p JOIN sig a ON a.doc_id = p.id_a
-                 JOIN sig b ON b.doc_id = p.id_b
-    WHERE bit_count(xor(a.sh_lo, b.sh_lo))
-          + bit_count(xor(a.sh_hi, b.sh_hi)) <= 6
+    {_lsh_pairs_cte('doc_id')},
+    vpairs AS (
+      SELECT p.id_a AS id_a, p.id_b AS id_b,
+             CAST(bit_count(xor(a.sh_lo, b.sh_lo))
+                  + bit_count(xor(a.sh_hi, b.sh_hi)) AS INTEGER)
+               AS hamming
+      FROM pairs p JOIN sig a ON a.doc_id = p.id_a
+                   JOIN sig b ON b.doc_id = p.id_b
+      WHERE bit_count(xor(a.sh_lo, b.sh_lo))
+            + bit_count(xor(a.sh_hi, b.sh_hi)) <= 6)"""
+
+
+def _doc_simhash_sql() -> str:
+    return f"""
+    WITH {_doc_simhash_pairs_cte()}
+    SELECT id_a, id_b, hamming FROM vpairs
     """
 
 
@@ -1763,6 +1784,18 @@ def dedup_simhash(spark, sf):
         .where(F.col("hamming") <= 6)
         .select("id_a", "id_b", "hamming")
     )
+
+
+@op("dedup_simhash_cluster_keep",
+    _cluster_keep_sql(_doc_simhash_pairs_cte()))
+def dedup_simhash_cluster_keep(spark, sf):
+    """Cluster resolution over the verified SimHash pair family
+    (dedup_simhash, oracle-checked): shared `_cluster_keep` body,
+    recursive-CTE cross-engine oracle via _cluster_keep_sql — the
+    hamming<=6 pair graph is transitively closed and each component
+    keeps its min doc_id."""
+    return _cluster_keep(dedup_simhash(spark, sf)
+                         .select("id_a", "id_b"))
 
 
 _SHINGLE_SPARK = (
@@ -1920,39 +1953,37 @@ def _hp_bands_cte() -> str:
     bands AS (SELECT vec_id, g * {1 << HP_BITS} + bits AS bk FROM bkeys)"""
 
 
-def _emb_lsh_sql() -> str:
-    """DuckDB twin of the hyperplane-LSH-blocked embedding dedup.
-
-    The plane weights and sign bits are integer arithmetic on
-    floor(x*1024)-quantized components (contract.hyperplane_weights /
-    hp_band_keys_np), so the blocking keys are bit-identical across
-    engines — a float dot product's summation order could flip a sign
-    at the boundary and desync the candidate sets."""
+def _emb_pairs_cte() -> str:
+    """DuckDB CTE chain for the verified embedding-cosine near-dup
+    pairs, ending in `vpairs(id_a, id_b, cos)` — hyperplane-LSH
+    blocking + bucket guard (shared _lsh_pairs_cte semantics) + exact
+    cosine verify. The plane weights and sign bits are integer
+    arithmetic on floor(x*1024)-quantized components
+    (contract.hyperplane_weights / hp_band_keys_np), so the blocking
+    keys are bit-identical across engines — a float dot product's
+    summation order could flip a sign at the boundary and desync the
+    candidate sets. Shared by the dedup_embedding_cosine oracle and
+    the dedup_embedding_cluster_keep recursive-closure oracle."""
     from kgx.contract import COSINE_TAU
 
-    return f"""
-    WITH {_hp_bands_cte()},
-    sizes AS (SELECT bk, count(*) AS n, min(vec_id) AS mn
-              FROM bands GROUP BY bk),
-    cand AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM bands a JOIN bands b ON a.bk = b.bk AND a.vec_id < b.vec_id
-           JOIN sizes s ON s.bk = a.bk
-      WHERE s.n <= {MAX_LSH_BUCKET}
-      UNION ALL
-      SELECT s.mn AS id_a, b.vec_id AS id_b
-      FROM bands b JOIN sizes s ON s.bk = b.bk
-      WHERE s.n > {MAX_LSH_BUCKET} AND b.vec_id > s.mn
-    ),
-    pairs AS (SELECT DISTINCT id_a, id_b FROM cand),
+    return f"""{_hp_bands_cte()},
+    {_lsh_pairs_cte('vec_id')},
     v AS (SELECT vec_id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings)
-    SELECT p.id_a AS id_a, p.id_b AS id_b,
-           round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 6) AS cos
-    FROM pairs p JOIN v a ON a.vec_id = p.id_a
-                 JOIN v b ON b.vec_id = p.id_b
-    WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_TAU}
+          FROM embeddings),
+    vpairs AS (
+      SELECT p.id_a AS id_a, p.id_b AS id_b,
+             round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 6)
+               AS cos
+      FROM pairs p JOIN v a ON a.vec_id = p.id_a
+                   JOIN v b ON b.vec_id = p.id_b
+      WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_TAU})"""
+
+
+def _emb_lsh_sql() -> str:
+    return f"""
+    WITH {_emb_pairs_cte()}
+    SELECT id_a, id_b, cos FROM vpairs
     """
 
 
@@ -1995,6 +2026,17 @@ def dedup_embedding_cosine(spark, sf):
         .where(F.col("cos") >= COSINE_TAU)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+@op("dedup_embedding_cluster_keep", _cluster_keep_sql(_emb_pairs_cte()))
+def dedup_embedding_cluster_keep(spark, sf):
+    """Cluster resolution over the verified embedding-cosine pair
+    family (dedup_embedding_cosine, oracle-checked): shared
+    `_cluster_keep` body, recursive-CTE cross-engine oracle via
+    _cluster_keep_sql — the cos>=tau pair graph is transitively closed
+    and each component keeps its min vec_id."""
+    return _cluster_keep(dedup_embedding_cosine(spark, sf)
+                         .select("id_a", "id_b"))
 
 
 IVF_LITERAL_K_MAX = 16  # codegen literal assignment up to this k
@@ -2886,39 +2928,39 @@ def sink_manifest(spark, sf):
 # two dedup ops whose DuckDB oracles are NEW this round, then the
 # oracle-backed ops whose only green row is from round 1.
 _CHECK_FIRST = [
-    # round-4 window (driver samples the first 50): ops whose code
-    # changed this round first — the shared LSH guard touched every
-    # dedup/ANN op and the pipeline link/edge/vertex tables, the IVF
-    # assignment got a large-k path — then the ops whose latest green
-    # driver row is round 2 (union r1..r4 stays fully covered).
-    "dedup_minhash_lsh", "dedup_cluster_keep", "dedup_simhash",
-    "dedup_embedding_cosine", "dedup_exact", "dedup_ngram_jaccard",
-    "ann_lsh_bucket", "ann_cosine_topk", "ann_ivf_topk",
+    # round-5 window (driver samples the first 50): the two NEW
+    # cluster-resolution ops and the four ops whose SQL/body the
+    # shared-_cluster_keep refactor touched come first, then the 32
+    # relational-core ops whose latest driver green is round 3 (so no
+    # oracle-backed op's latest driver row is ever more than 2 rounds
+    # old; union over r1..r5 stays fully covered), then the ops the
+    # round-5 pipeline changes touch (salt fan-out, auto
+    # tag-distinct, eval tier) plus family-freshness picks.
+    "dedup_simhash_cluster_keep", "dedup_embedding_cluster_keep",
+    "dedup_cluster_keep", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_embedding_cosine",
+    # latest driver green is round 3 (relational core)
+    "project_select", "filter_pred", "derive_cols", "filter_null_safe",
+    "join_sort_merge", "join_left_outer", "join_left_semi",
+    "join_left_anti", "join_self_theta", "join_range_interval",
+    "join_cross_small",
+    "agg_distinct", "agg_collect_sorted", "agg_minmax_stats",
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_having",
+    "agg_pivot",
+    "win_lag_lead", "win_rank_dense", "win_running_frame", "win_ntile",
+    "win_first_last",
+    "sort_global", "set_intersect", "set_except",
+    "fn_string", "fn_date", "fn_array", "fn_json", "fn_struct",
+    # pipeline tables (salt fan-out + auto tag-distinct touch these;
+    # rows-only by design, driver records row counts)
     "pipe_mentions", "pipe_triples_raw", "pipe_links", "pipe_edges",
     "pipe_vertices",
-    # latest driver green is round 2
-    "graph_connected_components", "graph_degree", "eval_triple_prf",
-    "udf_scalar_pandas", "udf_grouped_map", "udf_map_partitions",
-    "udf_grouped_agg", "udtf_surface",
-    "text_langid", "text_quality", "text_tokens",
-    # latest driver green is round 1 or 2 (relational core)
-    "scan_parquet", "scan_json_props",
-    "join_broadcast_hash", "join_salted_equi", "join_asof",
-    "agg_hash_count", "agg_two_phase_salted",
-    "win_row_number", "win_session_window",
-    "sort_limit_topk", "set_union_byname",
-    # round-3 oracles kept fresh at the round-4 HEAD; mm_frame_sample's
-    # oracle is NEW in round 4 (supersedes its rows-only record)
-    "mm_frame_sample",
-    "scan_text_bio", "sink_parquet_partitioned", "scan_iceberg",
-    "sink_manifest", "mm_decode_stub", "sort_within_partitions",
-    "join_skew_aqe", "graph_triangle_free_check", "text_fingerprint",
-    "fn_conditional", "fn_map",
-    # streaming ops re-recorded at the new default-compaction config
-    # (window is exactly 50: eval_scaling rotates out — rows-only with
-    # r1-r3 driver rows; its evidence artifact BENCH/scaling.json is
-    # committed and fresh regardless)
+    # eval path (new discriminative gold tier lands this round)
+    "eval_triple_prf", "eval_conlleval",
+    # streaming at the current stage code
     "stream_windowed_counts", "stream_incremental_canon",
+    # dedup/ANN family freshness (window is exactly 50)
+    "dedup_exact", "dedup_ngram_jaccard", "ann_lsh_bucket",
 ]
 
 

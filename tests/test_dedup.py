@@ -235,3 +235,49 @@ def test_cluster_keep_resolves_planted_near_dup_groups(spark):
     got = {(r["keep_id"], r["n_members"], r["max_member"])
            for r in dedup_cluster_keep(spark, sf).collect()}
     assert got == want
+
+
+def test_cluster_keep_generalizes_across_pair_families(spark):
+    """The shared `_cluster_keep` resolution must produce min-id-keyed
+    components for EVERY instantiating pair family (simhash hamming
+    pairs, embedding cosine pairs) — cross-checked with a Python
+    union-find over each family's own verified pair set, and the
+    registered DuckDB oracle (pulled from OPS, never hand-copied)
+    must agree row-for-row at sf0.001."""
+    import duckdb
+
+    from kgx.harness import (
+        OPS,
+        dedup_embedding_cluster_keep,
+        dedup_embedding_cosine,
+        dedup_simhash,
+        dedup_simhash_cluster_keep,
+    )
+
+    families = [
+        (dedup_simhash, dedup_simhash_cluster_keep,
+         "dedup_simhash_cluster_keep"),
+        (dedup_embedding_cosine, dedup_embedding_cluster_keep,
+         "dedup_embedding_cluster_keep"),
+    ]
+    con = duckdb.connect()
+    for tbl in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM "
+            f"read_parquet('{SF}/{tbl}.parquet')"
+        )
+    for pair_op, cluster_op, name in families:
+        pairs = [(r["id_a"], r["id_b"])
+                 for r in pair_op(spark, SF).collect()]
+        assert pairs, f"fixture assumption: {name} pairs exist"
+        comp = {}
+        find = _components(pairs)
+        for a, b in pairs:
+            for n in (a, b):
+                comp.setdefault(find(n), set()).add(n)
+        want = {(min(ms), len(ms), max(ms)) for ms in comp.values()}
+        got = {(r["keep_id"], r["n_members"], r["max_member"])
+               for r in cluster_op(spark, SF).collect()}
+        assert got == want, name
+        oracle = {tuple(r) for r in con.execute(OPS[name][1]).fetchall()}
+        assert oracle == want, f"{name} DuckDB oracle disagrees"
