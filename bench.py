@@ -130,6 +130,11 @@ def main() -> None:
             _force(_qmap0[name](spark, prewarm_dir))
     else:
         prewarm_dir = None  # recorded below; timed section unaffected
+        print(
+            "bench: codegen prewarm dir missing — `queries` timings "
+            "include first-compile cost (compare via queries_warm)",
+            file=sys.stderr,
+        )
 
     queries: dict[str, float] = {}
     rows: dict[str, int] = {}

@@ -2703,7 +2703,15 @@ def mm_sample_frames(spark, sf):
     valid utf-8) with md5-derived dims, clearly marked. The Spark side
     — binary columns in and out, metadata struct, Arrow batching,
     per-frame explode shape, partitioning — is real and is what a real
-    decoder would plug into."""
+    decoder would plug into.
+
+    STUB PRECONDITION: the chunker decodes the payload as utf-8
+    (required for the character-boundary contract with the DuckDB
+    twin), so it accepts only utf-8 payloads — satisfied here because
+    `payload` is built via F.encode(text, 'utf-8'). A real binary
+    source (jpeg/mp4 bytes) must replace the chunker with an actual
+    decoder; feeding it non-utf-8 bytes fails fast with a clear
+    error rather than silently mis-chunking."""
     import hashlib
 
     from pyspark.sql import types as T
@@ -2741,7 +2749,14 @@ def mm_sample_frames(spark, sf):
                 # on CHARACTER boundaries (step in chars of the decoded
                 # text) so every frame is valid utf-8 and the DuckDB
                 # twin can reproduce the chunks with plain substring
-                text = raw.decode("utf-8")
+                try:
+                    text = raw.decode("utf-8")
+                except UnicodeDecodeError as e:
+                    raise ValueError(
+                        f"mm_sample_frames stub requires utf-8 "
+                        f"payloads (doc_id={doc_id}): plug a real "
+                        f"decoder in for binary media"
+                    ) from e
                 step = max(1, len(text) // n_frames)
                 for i in range(n_frames):
                     piece = text[i * step : (i + 1) * step]

@@ -215,17 +215,26 @@ class TableIO:
                 df.sparkSession.read.parquet(self.path(table, version))
                 .where(~F.col("_del"))
                 .groupBy(*log_keys).count()
-                .where(F.col("count") > 1).limit(1).count()
+                .where(F.col("count") > 1).limit(1).collect()
             )
             if dup:
                 import shutil
 
                 shutil.rmtree(self.path(table, version),
                               ignore_errors=True)
+                # In a foreachBatch caller an offending delta is a
+                # POISON BATCH (every replay recomputes it and fails
+                # here again — the stream cannot advance past it), so
+                # name the key and batch so the operator can find the
+                # upstream dedupe bug fast; callers must dedupe
+                # deltas before append (the shipped updaters do).
+                sample = {k: dup[0][k] for k in log_keys}
                 raise ValueError(
-                    f"{table}: delta contains duplicate rows for a "
-                    f"log key {log_keys} — latest-wins within one "
-                    f"segment would be nondeterministic")
+                    f"{table}: delta (batch_tag={batch_tag!r}) "
+                    f"contains duplicate rows ({dup[0]['count']}) for "
+                    f"log key {sample} — latest-wins within one "
+                    f"segment would be nondeterministic; dedupe the "
+                    f"delta before append")
         stats = self.file_stats(table, version)
         rows = sum(r for _, r, _ in stats)
         nbytes = sum(b for _, _, b in stats)

@@ -741,8 +741,16 @@ def _observed_changed(obs, new_labels: DataFrame,
 
     deadline = time.monotonic() + timeout_s
     while time.monotonic() < deadline:
-        if obs._jo is not None and obs._jo.getRowOrEmpty().isDefined():
-            return int(obs.get["changed"] or 0)
+        try:
+            # _jo / getRowOrEmpty are PySpark/Scala PRIVATE surface —
+            # present on the pinned Spark 4.1, but a minor-version
+            # bump may remove either; degrade to the explicit
+            # aggregate instead of crashing the CC loop.
+            if (obs._jo is not None
+                    and obs._jo.getRowOrEmpty().isDefined()):
+                return int(obs.get["changed"] or 0)
+        except Exception:  # AttributeError / Py4JError
+            break
         time.sleep(0.05)
     return new_labels.where(
         F.col("label") != F.col("old_label")

@@ -150,6 +150,40 @@ def test_append_rejects_duplicate_log_keys_in_one_delta(spark,
     assert _rows(io.read(spark, "t"), "id", "v") == {(1, "A")}
 
 
+def test_duplicate_delta_rollback_leaves_manifest_untouched(spark,
+                                                            tmp_path):
+    """The refused duplicate-key delta must roll back COMPLETELY: the
+    just-written segment directory is removed, the manifest gains no
+    segment (same version, same batch tags), reads see only committed
+    state, and the next good append reuses the freed version number
+    (round-4 VERDICT item 7). The error must name the offending key
+    and the batch tag so a poison streaming batch is diagnosable."""
+    import copy
+    import os
+
+    io = TableIO(str(tmp_path))
+    io.append(spark.createDataFrame([(1, "a")], "id int, v string"),
+              "t", log_keys=["id"], batch_tag="b0")
+    before = copy.deepcopy(io.manifest("t"))
+    with pytest.raises(ValueError) as exc:
+        io.append(
+            spark.createDataFrame([(7, "x"), (7, "y")],
+                                  "id int, v string"),
+            "t", log_keys=["id"], batch_tag="poison",
+        )
+    msg = str(exc.value)
+    assert "poison" in msg and "7" in msg  # batch tag + key sample
+    assert io.manifest("t") == before  # manifest untouched
+    assert not os.path.exists(io.path("t", before["version"] + 1))
+    assert _rows(io.read(spark, "t"), "id", "v") == {(1, "a")}
+    io.append(spark.createDataFrame([(2, "b")], "id int, v string"),
+              "t", log_keys=["id"], batch_tag="b1")
+    m = io.manifest("t")
+    assert m["version"] == before["version"] + 1
+    assert [s["batch_tag"] for s in m["segments"]] == ["b0", "b1"]
+    assert _rows(io.read(spark, "t"), "id", "v") == {(1, "a"), (2, "b")}
+
+
 def test_append_rejects_schema_drift(spark, tmp_path):
     """A delta whose column types drifted must fail at the write, not
     null-fill or error at some later read (round-3 ADVICE)."""
