@@ -29,7 +29,13 @@ DICT_TS_US = (1764547200_000000, 1768435200_000000)  # 2025-12-01, 2026-01-15
 TIERS = {"t1": 40, "t2": 400, "bench": 20000,
          # CJK tiers: same sizes, Chinese-script assets (A.1: the
          # reference contract is per-character Chinese NER)
-         "t1_zh": 40, "t2_zh": 400}
+         "t1_zh": 40, "t2_zh": 400,
+         # discriminative tier: same transcripts/dims as t2, but the
+         # char-BIO gold carries controlled noise the frozen lexicon
+         # tagger can NOT ace (OOV surfaces, boundary-extended spans,
+         # gold-O mention traps) — conlleval F1 < 1.0 there measures
+         # tagging quality; oracle==pipeline equality stays the gate
+         "t2_noisy": 400}
 
 TOOLS = ("search", "calc", "browse", "db")
 
@@ -500,6 +506,115 @@ def bio_eval_rows(ents: list[Entity], n_sentences: int = 500,
     return sent_ids, chars_col, tags_col
 
 
+# --- discriminative (noisy-gold) eval assets ------------------------------
+# Surfaces guaranteed OUT of the gazetteer/artifact lexicon (asserted
+# at generation): invented stems sharing no form with PER_FIRST/LAST,
+# LOC_*, ORG_* pools. A frozen lexicon tagger cannot recall these.
+OOV_PER = ("Yorvik Dunmore", "Casimir Blent", "Odalys Trevane",
+           "Ewart Pimlico", "Sibyl Harrowgate", "Teodric Vasse")
+OOV_LOC = ("Gorse Hollow", "Brindle Coast", "Tarn Wickley",
+           "Dunmow Vale", "Eastholt Ridge", "Wrenfield Downs")
+OOV_ORG = ("Brindlewood Consortium", "Kestrel Atelier",
+           "Windrow Collective", "Halcyon Foundry",
+           "Marrowgate Partners", "Thistledown Works")
+
+# gold spans in these sentences EXTEND the dictionary surface (title
+# included in the gold entity, MSRA-style annotation ambiguity); the
+# lexicon tagger emits only the dictionary span -> boundary error
+NOISY_TITLES = ("Dr. ", "Prof. ", "Mr. ", "Ms. ")
+
+# gold-O mention traps: the surface appears verbatim but is NOT an
+# entity mention (metalinguistic use). A lexicon tagger fires anyway;
+# only context could suppress it.
+NOISY_O_TEMPLATES = (
+    'please spell the string "{}" exactly as written .',
+    'the label "{}" is used here as a codename only .',
+    'type the phrase "{}" into the search box .',
+    'the token "{}" appears verbatim in the log file .',
+)
+
+NOISY_RATES = {"trap_o": 0.15, "filler": 0.15,
+               "oov": 0.15, "boundary": 0.12}
+
+
+def bio_eval_rows_noisy(ents: list[Entity], n_sentences: int = 500):
+    """Discriminative char-BIO gold: unlike bio_eval_rows (gold derived
+    from the tagger's own gazetteer -> F1 == 1.0 by construction), this
+    corpus plants, at controlled seeded rates:
+      * OOV entity surfaces (gold = entity, lexicon tagger -> O):
+        recall errors for BOTH artifact slots;
+      * boundary-extended gold spans (title + dictionary surface):
+        span-boundary errors for both slots;
+      * gold-O mention traps (lexicon surface in metalinguistic
+        context): precision errors — weak forms are used when the
+        entity has them, so the v2 slot's cue-gated weak-form path
+        recovers SOME of these and scores measurably above v1.
+    conlleval F1 here measures tagging quality against annotation the
+    tagger does not control; oracle==Spark prediction equality remains
+    the separate hard gate (scripts/eval_report.py)."""
+    rng = random.Random(SEED + 7)
+    oov_by_type = {"PER": OOV_PER, "LOC": OOV_LOC, "ORG": OOV_ORG}
+    by_type = {t: [e for e in ents if e.etype == t]
+               for t in ("PER", "LOC", "ORG")}
+    weak_pool = [e for e in ents if e.misspells]
+    sent_ids, chars_col, tags_col = [], [], []
+    r = NOISY_RATES
+    for sid in range(n_sentences):
+        roll = rng.random()
+        spans: list[tuple[int, int, str]] = []
+        if roll < r["trap_o"]:
+            e = (rng.choice(weak_pool)
+                 if weak_pool and rng.random() < 0.6
+                 else rng.choice(ents))
+            surface = (rng.choice(e.misspells)
+                       if e.misspells and rng.random() < 0.75
+                       else e.canonical)
+            text = rng.choice(NOISY_O_TEMPLATES).format(surface)
+        elif roll < r["trap_o"] + r["filler"]:
+            text = rng.choice(FILLER_TEMPLATES)
+        else:
+            tpl, _ = ENTITY_TEMPLATES[rng.randrange(
+                len(ENTITY_TEMPLATES))]
+            parts = tpl.split("{")
+            text = parts[0]
+            for chunk in parts[1:]:
+                etype, rest = chunk.split("}", 1)
+                slot_roll = rng.random()
+                if slot_roll < r["oov"]:
+                    surface = rng.choice(oov_by_type[etype])
+                elif etype == "PER" and slot_roll < r["oov"] + r[
+                        "boundary"]:
+                    surface = (rng.choice(NOISY_TITLES)
+                               + _pick_entity(rng,
+                                              by_type[etype]).canonical)
+                else:
+                    surface = _pick_surface(
+                        rng, _pick_entity(rng, by_type[etype]))
+                spans.append((len(text), len(text) + len(surface),
+                              etype))
+                text += surface + rest
+        tags = ["O"] * len(text)
+        for begin, end, etype in spans:
+            tags[begin] = f"B-{etype}"
+            for i in range(begin + 1, end):
+                tags[i] = f"I-{etype}"
+        sent_ids.append(sid)
+        chars_col.append(list(text))
+        tags_col.append(tags)
+    return sent_ids, chars_col, tags_col
+
+
+def _assert_oov_disjoint(ents: list[Entity]) -> None:
+    """Generation-time guarantee behind the OOV recall contract: no
+    lexicon form may appear inside an OOV surface (or vice versa), or
+    the 'tagger cannot know it' premise silently breaks."""
+    forms = [f for e in ents for f in e.all_forms()]
+    for pool in (OOV_PER, OOV_LOC, OOV_ORG):
+        for s in pool:
+            for f in forms:
+                assert f not in s and s not in f, (s, f)
+
+
 def bio_eval_table(sent_ids, chars_col, tags_col) -> pa.Table:
     return pa.table(
         {
@@ -544,9 +659,14 @@ def generate(outdir: str, tier: str = "t2") -> dict[str, str]:
     pq.write_table(transcripts_table(rows), paths["transcripts"])
     pq.write_table(alias_dict_table(ents), paths["alias_dict"])
     pq.write_table(patterns_table(pats), paths["patterns"])
-    sent_ids, chars_col, tags_col = bio_eval_rows(
-        ents, 100 if tier.startswith("t1") else 500, ent_tpl, fil_tpl
-    )
+    if tier.endswith("_noisy"):
+        _assert_oov_disjoint(ents)
+        sent_ids, chars_col, tags_col = bio_eval_rows_noisy(ents, 500)
+    else:
+        sent_ids, chars_col, tags_col = bio_eval_rows(
+            ents, 100 if tier.startswith("t1") else 500, ent_tpl,
+            fil_tpl
+        )
     pq.write_table(bio_eval_table(sent_ids, chars_col, tags_col),
                    paths["bio_eval"])
     write_bio_text(paths["bio_eval_txt"], chars_col, tags_col)
