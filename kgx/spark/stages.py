@@ -816,7 +816,58 @@ def incremental_labels(labels_prev: DataFrame, new_nodes: DataFrame,
     return delta_old.unionByName(delta_new)
 
 
-SALT_K = 16
+SALT_K = 16  # fan-out CAP per hot key (raise with cluster width)
+SALT_HOT_MIN = 1024  # a key is salt-eligible only past this degree
+
+
+def salted_members(member: DataFrame, key: str = "label",
+                   member_col: str = "node_id",
+                   hot_min: int = SALT_HOT_MIN) -> DataFrame:
+    """Quantile-driven per-key salt fan-out (SURVEY §4): instead of a
+    static SALT_K for every key, measure each key's degree once (a
+    partial-aggregated count — one shuffled row per key), derive the
+    skew threshold from the degree distribution itself (p95 quantile,
+    floored at `hot_min` so 'hot' means a genuinely large reducer
+    group, not the top of a uniformly tiny distribution), and fan out
+    ONLY the hot keys: fan = ceil(degree / threshold) capped at
+    SALT_K. Cold keys keep salt 0, so phase-2 merge touches one row
+    per cold key and the salted plan degenerates to the unsalted one
+    on unskewed data.
+
+    Scale shape: the hot-key table is tiny by construction (degree >
+    max(p95, hot_min) keys) and is BROADCAST back onto the members —
+    the member frame is never pre-shuffled by key just to learn its
+    fan-out; the only wide exchange stays the phase-1 (key, salt)
+    aggregation. Output equality with any static salt (including
+    none) holds because both downstream combines are algebraic
+    (min-of-struct) or set-union (collect_set) — pinned by
+    tests/test_salt_fanout.py and the oracle-parity suite."""
+    deg = member.groupBy(key).agg(F.count("*").alias("_deg"))
+    p95 = deg.select(
+        F.percentile_approx("_deg", F.lit(0.95)).alias("_p95"))
+    hot = (
+        deg.crossJoin(F.broadcast(p95))
+        .where((F.col("_deg") > F.col("_p95"))
+               & (F.col("_deg") > hot_min))
+        .select(
+            key,
+            F.least(
+                F.lit(SALT_K),
+                F.ceil(F.col("_deg")
+                       / F.greatest(F.col("_p95"), F.lit(hot_min))),
+            ).cast("int").alias("_fan"),
+        )
+    )
+    return (
+        member.join(F.broadcast(hot), key, "left")
+        .withColumn(
+            "salt",
+            F.when(F.col("_fan").isNull(), F.lit(0)).otherwise(
+                F.pmod(F.xxhash64(member_col), F.col("_fan"))
+            ),
+        )
+        .drop("_fan")
+    )
 
 
 def canonicalize(nodes: DataFrame, labels: DataFrame):
@@ -829,10 +880,10 @@ def canonicalize(nodes: DataFrame, labels: DataFrame):
     salt); phase 2 merges the <=SALT_K partial sets per label. min()
     over structs is algebraic, so the canonical-node pick composes
     across phases unchanged. Equality with the unsalted form is
-    covered by the oracle-parity and distribution-invariance tests."""
-    member = nodes.join(labels, "node_id").withColumn(
-        "salt", F.pmod(F.xxhash64("node_id"), F.lit(SALT_K))
-    )
+    covered by the oracle-parity and distribution-invariance tests.
+    The per-label fan-out is degree-quantile-driven (salted_members),
+    not static."""
+    member = salted_members(nodes.join(labels, "node_id"))
     partial = member.groupBy("label", "salt").agg(
         F.min(
             F.struct("is_prov", "etype", "norm", "node_id", "display")
