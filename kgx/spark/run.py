@@ -46,6 +46,20 @@ from kgx.tagcore import TaggerArtifact
 
 STAGES = ("ingest", "tag", "extract", "link", "canon", "materialize")
 
+# Auto tag-distinct break-even (turns / distinct texts), measured:
+# the content-addressed path pays a text shuffle + join back, and
+# saves tagger-cost * (1 - 1/rate), so the break-even rate depends on
+# PER-TEXT TAGGER COST. With the cheap lexicon artifacts, an
+# alternated same-window A/B showed a net LOSS at rate 8.6 on the
+# 218k-turn bench corpus (tag stage +1.0 s) and a net win at rate 20
+# on the 4.37M-turn x20 corpus (10.2 -> 8.4 s) — the lexicon
+# threshold sits between. A learned-emission artifact (the reference
+# contract's BiLSTM/BERT branch) is orders of magnitude costlier per
+# text, where the ~1.2 break-even of the original estimate applies.
+TAG_DISTINCT_AUTO_MIN_RATE_LEXICON = 15.0
+TAG_DISTINCT_AUTO_MIN_RATE_LEARNED = 1.2
+_LEXICON_KINDS = {"lexicon_crf", "lexicon_ctx_crf"}
+
 METRICS_SCHEMA = (
     "run_id string, stage string, table string, partition_id int, "
     "rows bigint, bytes bigint, content_hash string"
@@ -141,7 +155,7 @@ class Runner:
                  run_id: str, buckets: int = 32,
                  artifact: str = "tagger_v1.npz",
                  cc_checkpoint_every: int = 5,
-                 tag_distinct: bool = False):
+                 tag_distinct: bool | None = None):
         self.spark = spark
         self.input_dir = input_dir
         self.io = TableIO(out)
@@ -153,7 +167,9 @@ class Runner:
         self.cc_checkpoint_every = cc_checkpoint_every
         # content-addressed tagging: tag distinct texts, join back
         # (value-identical output/content hashes; wins when the corpus
-        # repeats turns)
+        # repeats turns). True/False force the mode; None (default)
+        # decides per run from a measured duplication-rate probe in
+        # stage_tag.
         self.tag_distinct = tag_distinct
         self._tagger = None
         self.events: list[dict] = []
@@ -299,16 +315,51 @@ class Runner:
 
     def stage_tag(self):
         turns = self.read("turns")
-        if self.tag_distinct:
+        distinct = self.tag_distinct
+        tag_inputs = [self.io.path("turns"), self.artifact_path,
+                      self.in_path("patterns")]
+        if distinct is None and self.io.is_complete(
+                "tagged",
+                fingerprint_paths(*tag_inputs) + f"|b{self.buckets}"):
+            # resume will skip the stage — don't pay the probe; the
+            # lazy plan below is never executed (mode-independent
+            # fingerprint, value-identical outputs either way)
+            distinct = False
+        if distinct is None:
+            # auto mode: one cheap column-pruned aggregate over the
+            # already-checkpointed turns table (count + HLL distinct
+            # of `text`) measures the duplication rate; past the
+            # measured break-even for the loaded artifact's per-text
+            # cost class (constants above) the content-addressed path
+            # wins. The probe's outcome only picks between two
+            # VALUE-IDENTICAL plans (same content hashes —
+            # tests/test_resume.py cross-mode flip), so HLL
+            # approximation error cannot affect output, and the stage
+            # fingerprint is mode-independent, so resume is
+            # unaffected by what a previous run chose.
+            row = turns.agg(
+                F.count("text").alias("n"),
+                F.approx_count_distinct("text").alias("d"),
+            ).collect()[0]
+            rate = row["n"] / max(row["d"], 1)
+            kind = TaggerArtifact.load(self.artifact_path).kind
+            threshold = (TAG_DISTINCT_AUTO_MIN_RATE_LEXICON
+                         if kind in _LEXICON_KINDS
+                         else TAG_DISTINCT_AUTO_MIN_RATE_LEARNED)
+            distinct = rate >= threshold
+            self.events.append(
+                {"stage": "tag", "table": "tagged",
+                 "probe": "dup_rate", "dup_rate": round(rate, 3),
+                 "auto_tag_distinct": distinct}
+            )
+        if distinct:
             tagged = stages.tag_extract_distinct(
                 turns, self.tagger(), self.patterns_rows(),
                 buckets=self.buckets)
         else:
             tagged = stages.tag_extract(turns, self.tagger(),
                                         self.patterns_rows())
-        self._stage("tag", {"tagged": tagged},
-                    [self.io.path("turns"), self.artifact_path,
-                     self.in_path("patterns")],
+        self._stage("tag", {"tagged": tagged}, tag_inputs,
                     partition_by=["bucket"])
 
     def stage_extract(self):
@@ -398,11 +449,17 @@ def main(argv=None) -> dict:
                     help="simulate failure after this stage (resume test)")
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--tag-distinct", action="store_true",
-                    help="content-addressed tagging: run the tagger "
-                    "once per DISTINCT text and join spans/rel back "
-                    "(value-identical output — same content hashes, "
-                    "rows reordered; use when the corpus repeats "
-                    "turns heavily)")
+                    default=None, dest="tag_distinct",
+                    help="force content-addressed tagging: run the "
+                    "tagger once per DISTINCT text and join spans/rel "
+                    "back (value-identical output — same content "
+                    "hashes, rows reordered). Default: AUTO — a "
+                    "duplication-rate probe at the tag stage picks "
+                    "the faster path per run")
+    ap.add_argument("--no-tag-distinct", action="store_false",
+                    dest="tag_distinct",
+                    help="force plain per-row tagging (disable the "
+                    "auto duplication probe)")
     ap.add_argument("--max-partition-mb", type=int, default=16,
                     help="spark.sql.files.maxPartitionBytes in MB; 16MB "
                     "keeps scan tasks fine-grained for the UDF-heavy tag "

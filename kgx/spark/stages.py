@@ -180,9 +180,12 @@ def tag_extract_distinct(turns: DataFrame, tag_offsets_udf,
     column (distinct) plus the join back; the join's probe side is
     skewed exactly on the hot duplicated texts, which AQE's skew split
     handles (same mechanism as join_skew_aqe), and the build side is
-    unique-per-key so there is no pair explosion. Off by default —
-    with no duplication it's pure overhead — enabled per-run via
-    Runner(tag_distinct=True) / `--tag-distinct`.
+    unique-per-key so there is no pair explosion. Selected
+    automatically by default: the runner probes the corpus
+    duplication rate at the tag stage and flips this path on past the
+    measured break-even for the artifact's cost class
+    (run.TAG_DISTINCT_AUTO_MIN_RATE_*); `--tag-distinct` /
+    `--no-tag-distinct` force either mode.
 
     Measured on the x20-duplicated 4.37M-turn fixture at local[32],
     WITH the bucket re-alignment shuffle included: tagged-stage wall

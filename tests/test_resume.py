@@ -153,3 +153,72 @@ def test_resume_across_tag_distinct_modes(spark, t1_dir, warehouses):
     for table in ("tagged", "edges", "vertices"):
         assert (clean.io.manifest(table)["content_hash"]
                 == resumed.io.manifest(table)["content_hash"]), table
+
+
+def test_auto_tag_distinct_probe_picks_by_duplication(
+        spark, t1_dir, warehouses, tmp_path_factory):
+    """Flagless (auto) mode must measure the corpus duplication rate
+    and pick the faster tag path per run — content-addressed on a
+    heavily duplicated corpus, plain on a unique one — with content
+    hashes equal to the forced mode either way (the probe only picks
+    between value-identical plans)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    root = tmp_path_factory.mktemp("autoprobe")
+
+    def derive(name, transform):
+        d = root / name
+        d.mkdir()
+        for f in ("alias_dict.parquet", "patterns.parquet",
+                  "tagger_v1.npz", "tagger_v2.npz"):
+            src = os.path.join(t1_dir, f)
+            dst = str(d / f)
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy(src, dst)
+        base = spark.read.parquet(f"{t1_dir}/transcripts.parquet")
+        transform(base).write.parquet(str(d / "transcripts.parquet"))
+        return str(d)
+
+    # unique: every text made globally distinct -> dup rate == 1.0
+    uniq = derive(
+        "uniq",
+        lambda df: df.withColumn(
+            "text",
+            F.concat_ws(" #", "text",
+                        F.concat_ws(":", "conv_id", "turn_idx"))),
+    )
+    # duplicated: every conversation replicated 20x -> rate >= 20
+    dup = derive(
+        "dup",
+        lambda df: df.crossJoin(
+            spark.range(20).select(F.col("id").alias("_rep"))
+        ).withColumn(
+            "conv_id", F.concat_ws("_", "conv_id", "_rep")
+        ).drop("_rep"),
+    )
+
+    def probe_event(runner):
+        evs = [e for e in runner.events if e.get("probe") == "dup_rate"]
+        assert len(evs) == 1, runner.events
+        return evs[0]
+
+    for fixture, want_distinct in ((dup, True), (uniq, False)):
+        tag = "dup" if want_distinct else "uniq"
+        auto = Runner(spark, fixture, str(root / f"wh_auto_{tag}"),
+                      "a", buckets=8)  # tag_distinct unset -> AUTO
+        auto.run(upto="tag")
+        ev = probe_event(auto)
+        assert ev["auto_tag_distinct"] is want_distinct, ev
+        if want_distinct:
+            assert ev["dup_rate"] > 10, ev
+        else:
+            assert ev["dup_rate"] < 1.2, ev
+        forced = Runner(spark, fixture, str(root / f"wh_f_{tag}"),
+                        "f", buckets=8, tag_distinct=not want_distinct)
+        forced.run(upto="tag")
+        assert (auto.io.manifest("tagged")["content_hash"]
+                == forced.io.manifest("tagged")["content_hash"]), tag
