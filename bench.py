@@ -128,6 +128,13 @@ def main() -> None:
     if os.path.isdir(prewarm_dir):
         for name in (QUICK if quick else HEADLINE):
             _force(_qmap0[name](spark, prewarm_dir))
+            if name in ("dedup_minhash_lsh", "dedup_simhash"):
+                # the 64-aggregate signature stages carry a residual
+                # first-big-run JVM warm-up beyond the compile cache
+                # (measured NOT to be codegen or plan-shape:
+                # BENCH/codegen_shapes.md round-5 section); a second
+                # tiny rep halves it
+                _force(_qmap0[name](spark, prewarm_dir))
     else:
         prewarm_dir = None  # recorded below; timed section unaffected
         print(
