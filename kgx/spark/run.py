@@ -337,6 +337,7 @@ class Runner:
             # approximation error cannot affect output, and the stage
             # fingerprint is mode-independent, so resume is
             # unaffected by what a previous run chose.
+            t0 = time.time()
             row = turns.agg(
                 F.count("text").alias("n"),
                 F.approx_count_distinct("text").alias("d"),
@@ -347,10 +348,16 @@ class Runner:
                          if kind in _LEXICON_KINDS
                          else TAG_DISTINCT_AUTO_MIN_RATE_LEARNED)
             distinct = rate >= threshold
+            # event carries the standard stage/table/rows/wall_s shape
+            # — downstream consumers (scaling_bench stage_walls, the
+            # resume tests) index those keys on every event
             self.events.append(
                 {"stage": "tag", "table": "tagged",
                  "probe": "dup_rate", "dup_rate": round(rate, 3),
-                 "auto_tag_distinct": distinct}
+                 "auto_tag_distinct": distinct,
+                 "rows": int(row["n"]),
+                 "wall_s": round(time.time() - t0, 3),
+                 "skipped": False}
             )
         if distinct:
             tagged = stages.tag_extract_distinct(

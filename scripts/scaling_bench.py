@@ -45,7 +45,8 @@ def count_turns(fixture: str) -> int:
     return total
 
 
-def run_level(cores: int, fixture: str, buckets: int) -> dict:
+def run_level(cores: int, fixture: str, buckets: int,
+              tag_mode: str = "plain") -> dict:
     """One parallelism level = one fresh subprocess pinned (taskset) to
     exactly `cores` CPUs. Without pinning, a local[8] session's Python
     UDF workers spill onto the machine's idle cores and the 'N-core
@@ -69,6 +70,14 @@ def run_level(cores: int, fixture: str, buckets: int) -> dict:
         "--run-id", f"scale{cores}",
         "--buckets", str(buckets), "--cores", str(cores),
     ]
+    # default: pin plain per-row tagging so the curve stays
+    # method-identical to the r1-r4 records (the replicate-N fixture
+    # is ~N*7.6x duplicated, which would flip the runner's AUTO
+    # content-addressed probe and change what is being measured);
+    # --tag-mode auto measures the product default instead, disclosed
+    # as its own row in BENCH/BASELINE.md
+    if tag_mode == "plain":
+        cmd.append("--no-tag-distinct")
     try:
         t0 = time.time()
         proc = subprocess.run(
@@ -150,6 +159,13 @@ def main() -> None:
                     help="clone each conv N times (bigger identical input)")
     ap.add_argument("--levels", default="8,32",
                     help="comma-separated core counts for N and 4N")
+    ap.add_argument("--tag-mode", default="plain",
+                    choices=("plain", "auto"),
+                    help="plain (default): pin --no-tag-distinct for "
+                    "method continuity with the r1-r4 records; auto: "
+                    "measure the product-default duplication probe "
+                    "(flips content-addressed tagging on the "
+                    "replicated fixture)")
     args = ap.parse_args()
 
     fixture = os.path.join(REPO, "fixtures", args.tier)
@@ -170,7 +186,7 @@ def main() -> None:
     for cores in lv:
         best = None
         for _ in range(args.repeat):
-            r = run_level(cores, fixture, buckets)
+            r = run_level(cores, fixture, buckets, args.tag_mode)
             if best is None or r["wall_s"] < best["wall_s"]:
                 best = r
         levels[cores] = best
@@ -186,17 +202,21 @@ def main() -> None:
         "outputs_identical": identical,
         "levels": levels,
         "tier": args.tier,
+        "tag_mode": args.tag_mode,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    # pair-specific record always; the canonical scaling.json and the
-    # generated report only for the primary (1,4) pair — the pair where
-    # both legs are compute-bound, i.e. the closest single-VM analogue
-    # of adding executors (see BENCH/BASELINE.md) — so a secondary-pair
-    # run cannot clobber the headline report
-    with open(os.path.join(REPO, "BENCH",
-                           f"scaling_{lv[0]}v{lv[1]}.json"), "w") as f:
+    # pair-specific record always (auto-mode runs get their own
+    # suffix); the canonical scaling.json and the generated report
+    # only for the primary (1,4) PLAIN pair — the pair where both legs
+    # are compute-bound, i.e. the closest single-VM analogue of adding
+    # executors (see BENCH/BASELINE.md) — so a secondary-pair or
+    # auto-mode run cannot clobber the headline report
+    suffix = "" if args.tag_mode == "plain" else f"_{args.tag_mode}"
+    with open(os.path.join(
+            REPO, "BENCH",
+            f"scaling_{lv[0]}v{lv[1]}{suffix}.json"), "w") as f:
         json.dump(out, f, indent=2)
-    primary = lv == [1, 4]
+    primary = lv == [1, 4] and args.tag_mode == "plain"
     if primary:
         with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
             json.dump(out, f, indent=2)
