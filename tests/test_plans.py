@@ -236,3 +236,32 @@ def test_tag_distinct_plan_tags_above_the_distinct(spark, t1_dir):
         turns, udf, patterns, buckets=8))
     assert re.search(r"hashpartitioning\(bucket[^)]*, 8\)", aligned), \
         aligned
+
+
+def test_salted_members_broadcasts_hot_keys_no_member_preshuffle(spark):
+    """The quantile-driven salt assignment's scale claims, pinned at
+    the plan level: the hot-key table (tiny by construction) reaches
+    the member frame via a BROADCAST join, and the member side is NOT
+    pre-shuffled by key just to learn its salt — the only
+    hashpartitioning exchanges in the plan belong to the per-key
+    degree count (one row per key), never to the member rows."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kgx.spark.stages import salted_members
+
+    member = spark.createDataFrame(
+        pd.DataFrame({"label": [f"l{i % 50}" for i in range(2000)],
+                      "node_id": [f"n{i}" for i in range(2000)]})
+    ).repartition(8)
+    plan = plan_of(salted_members(member))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+    # every hashpartitioning exchange feeds the degree/percentile
+    # aggregation over `label` alone — none repartitions member rows
+    # (which carry node_id)
+    import re as _re
+
+    for m in _re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "node_id" not in m.group(1), m.group(0)
