@@ -1807,10 +1807,13 @@ _SHINGLE_SPARK = (
 SHINGLE_DF_CAP = 100  # drop "stop shingles" shared by > cap documents
 
 
-@op(
-    "dedup_ngram_jaccard",
-    f"""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+def _ngram_pairs_cte() -> str:
+    """DuckDB CTE chain for the exact word-3-gram Jaccard pairs over
+    `documents`, ending in `vpairs(id_a, id_b, jac)` — shared by the
+    dedup_ngram_jaccard oracle and the dedup_ngram_cluster_keep
+    recursive-closure oracle. The SHINGLE_DF_CAP hot-shingle guard is
+    part of the similarity definition on both engines."""
+    return f"""w AS (SELECT doc_id, string_split(text, ' ') AS ws
                FROM documents),
     sh0 AS (SELECT DISTINCT doc_id,
               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
@@ -1825,12 +1828,20 @@ SHINGLE_DF_CAP = 100  # drop "stop shingles" shared by > cap documents
                       count(*) AS c
                FROM sh a JOIN sh b ON a.shingle = b.shingle
                     AND a.doc_id < b.doc_id
-               GROUP BY a.doc_id, b.doc_id)
-    SELECT id_a, id_b,
-           round(c * 1.0 / (sa.n + sb.n - c), 4) AS jac
-    FROM common JOIN sizes sa ON sa.doc_id = id_a
-                JOIN sizes sb ON sb.doc_id = id_b
-    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.02
+               GROUP BY a.doc_id, b.doc_id),
+    vpairs AS (
+      SELECT id_a, id_b,
+             round(c * 1.0 / (sa.n + sb.n - c), 4) AS jac
+      FROM common JOIN sizes sa ON sa.doc_id = id_a
+                  JOIN sizes sb ON sb.doc_id = id_b
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.02)"""
+
+
+@op(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_ngram_pairs_cte()}
+    SELECT id_a, id_b, jac FROM vpairs
     """,
 )
 def dedup_ngram_jaccard(spark, sf):
@@ -1878,6 +1889,18 @@ def dedup_ngram_jaccard(spark, sf):
         .where(F.col("jac") >= 0.02)
         .select("id_a", "id_b", F.round("jac", 4).alias("jac"))
     )
+
+
+@op("dedup_ngram_cluster_keep", _cluster_keep_sql(_ngram_pairs_cte()))
+def dedup_ngram_cluster_keep(spark, sf):
+    """Cluster resolution over the exact n-gram-Jaccard pair family
+    (dedup_ngram_jaccard, oracle-checked): shared `_cluster_keep`
+    body, recursive-CTE cross-engine oracle via _cluster_keep_sql —
+    with this op every one of the four near-dup pair families
+    (MinHash, SimHash, embedding-cosine, exact n-gram) has the same
+    components+keep-list resolution, value-hash-checked end to end."""
+    return _cluster_keep(dedup_ngram_jaccard(spark, sf)
+                         .select("id_a", "id_b"))
 
 
 @op(
@@ -2952,6 +2975,7 @@ _CHECK_FIRST = [
     # round-5 pipeline changes touch (salt fan-out, auto
     # tag-distinct, eval tier) plus family-freshness picks.
     "dedup_simhash_cluster_keep", "dedup_embedding_cluster_keep",
+    "dedup_ngram_cluster_keep",
     "dedup_cluster_keep", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_embedding_cosine",
     # latest driver green is round 3 (relational core)
@@ -2974,8 +2998,10 @@ _CHECK_FIRST = [
     "eval_triple_prf", "eval_conlleval",
     # streaming at the current stage code
     "stream_windowed_counts", "stream_incremental_canon",
-    # dedup/ANN family freshness (window is exactly 50)
-    "dedup_exact", "dedup_ngram_jaccard", "ann_lsh_bucket",
+    # dedup family freshness (window is exactly 50; ann_lsh_bucket
+    # rotates out — r4-green, its band CTE is shared with the
+    # in-window embedding ops anyway)
+    "dedup_exact", "dedup_ngram_jaccard",
 ]
 
 

@@ -250,6 +250,8 @@ def test_cluster_keep_generalizes_across_pair_families(spark):
         OPS,
         dedup_embedding_cluster_keep,
         dedup_embedding_cosine,
+        dedup_ngram_cluster_keep,
+        dedup_ngram_jaccard,
         dedup_simhash,
         dedup_simhash_cluster_keep,
     )
@@ -259,6 +261,8 @@ def test_cluster_keep_generalizes_across_pair_families(spark):
          "dedup_simhash_cluster_keep"),
         (dedup_embedding_cosine, dedup_embedding_cluster_keep,
          "dedup_embedding_cluster_keep"),
+        (dedup_ngram_jaccard, dedup_ngram_cluster_keep,
+         "dedup_ngram_cluster_keep"),
     ]
     con = duckdb.connect()
     for tbl in ("documents", "embeddings"):
