@@ -97,3 +97,37 @@ def test_cc_ignores_stale_state(spark, chain, tmp_path):
         ).collect()
     }
     assert set(got.values()) == {"000"}
+
+
+def test_observed_changed_degrades_without_private_api(spark, chain):
+    """_observed_changed leans on PySpark-private surface
+    (Observation._jo / getRowOrEmpty); if a Spark version removes
+    either, the probe must fall back to the explicit aggregate
+    instead of crashing the CC loop (round-4 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from kgx.spark.stages import _observed_changed
+
+    nodes, edges = chain
+    frame = (
+        nodes.withColumn("label", F.col("node_id"))
+        .withColumn("old_label", F.lit("different"))
+    )
+
+    class NoJo:
+        @property
+        def _jo(self):
+            raise AttributeError("private attr gone in this Spark")
+
+    got = _observed_changed(NoJo(), frame, timeout_s=5.0)
+    assert got == frame.count()  # every row 'changed' in the fixture
+
+    class JoBroken:
+        class _J:
+            def getRowOrEmpty(self):
+                raise RuntimeError("Py4J bridge error")
+
+        _jo = _J()
+
+    got = _observed_changed(JoBroken(), frame, timeout_s=5.0)
+    assert got == frame.count()
