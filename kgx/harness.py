@@ -1569,9 +1569,10 @@ def _cluster_keep_sql(pairs_cte: str) -> str:
     the fixpoint), then resolves per-component min-id labels — a
     CROSS-ENGINE value check of the connected-components resolution
     itself, which the iterative Spark ops usually can't get from a
-    single SQL statement. Instantiated for the MinHash, SimHash and
-    embedding-cosine pair families (dedup_cluster_keep,
-    dedup_simhash_cluster_keep, dedup_embedding_cluster_keep)."""
+    single SQL statement. Instantiated for all four near-dup pair
+    families: MinHash, SimHash, embedding-cosine and exact n-gram
+    Jaccard (dedup_cluster_keep, dedup_simhash_cluster_keep,
+    dedup_embedding_cluster_keep, dedup_ngram_cluster_keep)."""
     return f"""
     WITH RECURSIVE {pairs_cte},
     edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
@@ -1607,7 +1608,7 @@ def _cluster_keep(pairs: DataFrame) -> DataFrame:
     singleton docs never enter the join. The DuckDB twin
     (_cluster_keep_sql) closes the same pair set with a recursive CTE,
     so the driver value-hash gate covers the component resolution
-    across engines for ALL THREE instantiating ops."""
+    across engines for ALL FOUR instantiating ops."""
     from kgx.spark.stages import connected_components
 
     edges = pairs.select(

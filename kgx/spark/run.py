@@ -172,6 +172,7 @@ class Runner:
         # stage_tag.
         self.tag_distinct = tag_distinct
         self._tagger = None
+        self._artifact_obj = None
         self.events: list[dict] = []
         self._metrics_rows: list[dict] = []
 
@@ -182,9 +183,16 @@ class Runner:
             from kgx.spark.udfs import make_tagger_offsets_udf
 
             self._tagger = make_tagger_offsets_udf(
-                self.spark, TaggerArtifact.load(self.artifact_path)
+                self.spark, self.artifact_obj()
             )
         return self._tagger
+
+    def artifact_obj(self) -> TaggerArtifact:
+        """One parse of the artifact npz per run — shared by the
+        tagger UDF and the auto-tag-distinct probe's kind check."""
+        if self._artifact_obj is None:
+            self._artifact_obj = TaggerArtifact.load(self.artifact_path)
+        return self._artifact_obj
 
     def in_path(self, name: str) -> str:
         return os.path.join(self.input_dir, f"{name}.parquet")
@@ -343,7 +351,7 @@ class Runner:
                 F.approx_count_distinct("text").alias("d"),
             ).collect()[0]
             rate = row["n"] / max(row["d"], 1)
-            kind = TaggerArtifact.load(self.artifact_path).kind
+            kind = self.artifact_obj().kind
             threshold = (TAG_DISTINCT_AUTO_MIN_RATE_LEXICON
                          if kind in _LEXICON_KINDS
                          else TAG_DISTINCT_AUTO_MIN_RATE_LEARNED)

@@ -885,8 +885,16 @@ def canonicalize(nodes: DataFrame, labels: DataFrame):
     across phases unchanged. Equality with the unsalted form is
     covered by the oracle-parity and distribution-invariance tests.
     The per-label fan-out is degree-quantile-driven (salted_members),
-    not static."""
-    member = salted_members(nodes.join(labels, "node_id"))
+    not static.
+
+    The member frame is localCheckpointed once: it feeds THREE
+    consumers (the degree probe, the two-phase aggregation, and
+    entity_map), and nodes-join-labels would otherwise re-execute per
+    consumer per action. Members are entity-alias rows — bounded by
+    distinct mentions, not corpus size — so the materialization is
+    small even at 100 TB of turns."""
+    member = salted_members(
+        nodes.join(labels, "node_id").localCheckpoint())
     partial = member.groupBy("label", "salt").agg(
         F.min(
             F.struct("is_prov", "etype", "norm", "node_id", "display")

@@ -607,12 +607,17 @@ def bio_eval_rows_noisy(ents: list[Entity], n_sentences: int = 500):
 def _assert_oov_disjoint(ents: list[Entity]) -> None:
     """Generation-time guarantee behind the OOV recall contract: no
     lexicon form may appear inside an OOV surface (or vice versa), or
-    the 'tagger cannot know it' premise silently breaks."""
+    the 'tagger cannot know it' premise silently breaks. Raises (not
+    `assert` — this must survive python -O) so a future gazetteer
+    edit cannot quietly invalidate the tier."""
     forms = [f for e in ents for f in e.all_forms()]
     for pool in (OOV_PER, OOV_LOC, OOV_ORG):
         for s in pool:
             for f in forms:
-                assert f not in s and s not in f, (s, f)
+                if f in s or s in f:
+                    raise ValueError(
+                        f"OOV surface {s!r} overlaps lexicon form "
+                        f"{f!r} — t2_noisy recall contract broken")
 
 
 def bio_eval_table(sent_ids, chars_col, tags_col) -> pa.Table:

@@ -89,10 +89,14 @@ def run_level(cores: int, fixture: str, buckets: int,
         for tbl in ("mentions", "triples_raw", "edges", "vertices"):
             with open(os.path.join(wh, f"{tbl}.manifest.json")) as f:
                 hashes[tbl] = json.load(f)["content_hash"]
-        stage_walls = {
-            e["table"]: e["wall_s"] for e in report["stages"]
-            if not e.get("skipped")
-        }
+        # SUM per table, don't overwrite: in auto tag mode the tag
+        # stage emits two 'tagged' events (the dup-rate probe and the
+        # commit) — both are real wall spent in the stage
+        stage_walls: dict = {}
+        for e in report["stages"]:
+            if not e.get("skipped"):
+                stage_walls[e["table"]] = round(
+                    stage_walls.get(e["table"], 0.0) + e["wall_s"], 3)
         job_wall = report["wall_s"]
     finally:
         shutil.rmtree(wh, ignore_errors=True)
