@@ -92,3 +92,42 @@ def test_salted_canonicalize_equals_unsalted_reference(spark):
     canon_of_hot = {r["canonical_id"] for r in em
                     if r["node_id"].startswith("n")}
     assert canon_of_hot == {"n000000"}
+
+
+def test_salted_members_equals_unsalted_on_random_degree_mixes(spark):
+    """Property-style sweep over degree shapes (uniform-tiny, one
+    mega-hot, several medium-hot, all-equal-above-threshold): for
+    every shape the salted two-phase aggregation must equal the plain
+    one-phase reference, and every emitted salt must be in
+    [0, SALT_K)."""
+    import random
+
+    rng = random.Random(7)
+    shapes = [
+        {"u%03d" % i: 1 + rng.randrange(3) for i in range(200)},
+        {"mega": 20000, **{"c%02d" % i: 2 for i in range(40)}},
+        {"h%d" % i: 1500 + 700 * i for i in range(5)},
+        {"e%d" % i: 2048 for i in range(6)},
+    ]
+    for shape in shapes:
+        rows = [(lbl, f"{lbl}_m{j}")
+                for lbl, deg in shape.items() for j in range(deg)]
+        pdf = pd.DataFrame(rows, columns=["label", "node_id"])
+        member = spark.createDataFrame(pdf).repartition(8)
+        m = salted_members(member)
+        bad = m.where((F.col("salt") < 0)
+                      | (F.col("salt") >= SALT_K)).count()
+        assert bad == 0
+        got = {
+            (r["label"], r["mn"], r["n"])
+            for r in m.groupBy("label", "salt")
+            .agg(F.min("node_id").alias("pmn"),
+                 F.count("*").alias("pc"))
+            .groupBy("label")
+            .agg(F.min("pmn").alias("mn"), F.sum("pc").alias("n"))
+            .collect()
+        }
+        want = {
+            (lbl, f"{lbl}_m0", deg) for lbl, deg in shape.items()
+        }
+        assert got == want, shape
